@@ -1,0 +1,290 @@
+"""DANRA dataset family: store-backed samples with random domain cutouts.
+
+One configurable dataset replaces the reference's four generations
+(DANRA_Dataset / _cutouts / _cutouts_ERA5 / _cutouts_ERA5_Zarr,
+data_DANRA_conditional.py:195-1236). Semantics preserved:
+
+* per-day members keyed by ``*YYYYMMDD`` names; variable 't' (temperature,
+  Kelvin -> Celsius via -273.15) or 'tp' (precipitation)
+  (data_DANRA_conditional.py:1148-1167);
+* season/month/day-of-year class label from the filename
+  (data_DANRA_conditional.py:1127-1147);
+* low-res conditioning image from a second store, or the sample-mean
+  "uniform" image when none is given
+  (data_DANRA_conditional.py:1152-1166);
+* random fixed-size cutouts from a domain rectangle, with lsm/topo crops
+  and an SDF for the weighted loss (data_DANRA_conditional.py:1171-1190);
+* resize + linear Scale transform (data_DANRA_conditional.py:1031-1042);
+* dict samples with the reference's keys:
+  {'img','classifier','img_cond','lsm','sdf','topo','points'}
+  (data_DANRA_conditional.py:1177-1228).
+
+TPU-first changes: channel-last (H, W, 1) numpy arrays; a plain in-process
+LRU-ish cache replaces the unsynchronized ``multiprocessing.Manager``
+dict (SURVEY.md section 5.2); SDFs for cutout windows are cropped from one
+precomputed full-domain EDT instead of re-running EDT per sample — exact
+for interior windows where the nearest land pixel lies inside the window,
+and the 10*mask-minus-distance formula is applied before the per-window
+min-max normalization so values match the reference's
+generate_sdf-then-normalize pipeline (data_DANRA_conditional.py:82-102).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import OrderedDict
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.ndimage import distance_transform_edt
+
+from .geo import DateFromFile, Scale, find_rand_points, normalize_sdf
+from .store import open_group
+
+
+def _resize2d(arr: np.ndarray, target: Tuple[int, int]) -> np.ndarray:
+    from PIL import Image
+
+    if arr.shape == tuple(target):
+        return np.asarray(arr, np.float32)
+    h, w = target
+    img = Image.fromarray(np.ascontiguousarray(arr, dtype=np.float32), mode="F")
+    return np.asarray(img.resize((w, h), Image.BILINEAR), dtype=np.float32)
+
+
+@dataclasses.dataclass
+class DanraDatasetConfig:
+    """Config surface of the dataset family (ddpm_DANRA_conditional_wValid
+    .py:280-332 constructor args)."""
+
+    variable: str = "temp"  # 'temp' | 'prcp'
+    data_size: Tuple[int, int] = (64, 64)
+    cache_size: int = 0
+    scale: bool = True
+    in_low: float = -1.0
+    in_high: float = 1.0
+    data_min_in: float = -30.0
+    data_max_in: float = 30.0
+    conditional_seasons: bool = False
+    conditional_images: bool = False
+    n_classes: Optional[int] = None
+    cutouts: bool = False
+    cutout_domains: Optional[Sequence[int]] = None  # [x1, x2, y1, y2]
+    cutout_size: Optional[int] = None  # defaults to data_size[0]
+    n_samples: Optional[int] = None
+    sdf_weighted_loss: bool = False
+    shuffle: bool = False
+    seed: int = 0
+
+
+class DanraDataset:
+    """Map-style dataset over a chunked store (zarr or directory store).
+
+    ``__getitem__`` returns the reference's dict sample with channel-last
+    float32 arrays ready to collate into NHWC batches.
+    """
+
+    def __init__(
+        self,
+        data_store_path,
+        config: DanraDatasetConfig,
+        *,
+        cond_store_path=None,
+        lsm_full_domain: Optional[np.ndarray] = None,
+        topo_full_domain: Optional[np.ndarray] = None,
+    ):
+        self.cfg = config
+        self.group = open_group(data_store_path, mode="r")
+        self.files = list(self.group.keys())
+        self.cond_group = None
+        if cond_store_path is not None:
+            self.cond_group = open_group(cond_store_path, mode="r")
+            files_cond = list(self.cond_group.keys())
+            n = min(len(self.files), len(files_cond))
+            self.files, self.files_cond = self.files[:n], files_cond[:n]
+        else:
+            self.files_cond = self.files
+
+        rng = np.random.default_rng(config.seed)
+        if config.shuffle:
+            perm = rng.permutation(len(self.files))
+            self.files = [self.files[i] for i in perm]
+            self.files_cond = [self.files_cond[i] for i in perm]
+        if config.n_samples is not None:
+            # with cutouts the dataset may repeat files to reach n_samples
+            # (data_DANRA_conditional.py:1001-1025)
+            if config.cutouts and config.n_samples > len(self.files):
+                factor = -(-config.n_samples // len(self.files))
+                self.files = (self.files * factor)[: config.n_samples]
+                self.files_cond = (self.files_cond * factor)[: config.n_samples]
+            else:
+                self.files = self.files[: config.n_samples]
+                self.files_cond = self.files_cond[: config.n_samples]
+
+        self.lsm_full = (
+            np.asarray(lsm_full_domain, np.float32)
+            if lsm_full_domain is not None
+            else None
+        )
+        self.topo_full = (
+            np.asarray(topo_full_domain, np.float32)
+            if topo_full_domain is not None
+            else None
+        )
+        # Precompute the full-domain sea EDT once (hot-loop #5 fix).
+        self.sdf_full = None
+        if config.sdf_weighted_loss and self.lsm_full is not None:
+            binary = self.lsm_full > 0
+            dist_sea = distance_transform_edt(~binary).astype(np.float32)
+            self.sdf_full = 10.0 * binary.astype(np.float32) - dist_sea
+
+        self.scaler = (
+            Scale(config.in_low, config.in_high, config.data_min_in, config.data_max_in)
+            if config.scale
+            else None
+        )
+        self._rng = rng
+        self._cache: OrderedDict[int, Dict[str, np.ndarray]] = OrderedDict()
+
+    # -- helpers -----------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def name(self, idx: int) -> str:
+        return self.files[idx]
+
+    def _transform(self, arr: np.ndarray) -> np.ndarray:
+        out = _resize2d(arr, self.cfg.data_size)
+        if self.scaler is not None:
+            out = self.scaler(out)
+        return out[..., None]  # (H, W, 1)
+
+    def _load_image(self, file_name: str) -> np.ndarray:
+        member = self.group[file_name]
+        if self.cfg.variable == "temp":
+            var = "t" if "t" in member else "data"
+            img = np.asarray(member[var], np.float32)
+            img = img.reshape(img.shape[-2:]) - 273.15
+        elif self.cfg.variable == "prcp":
+            var = "tp" if "tp" in member else "data"
+            img = np.asarray(member[var], np.float32)
+            img = img.reshape(img.shape[-2:])
+        else:
+            raise ValueError(f"unknown variable {self.cfg.variable!r}")
+        return img
+
+    def _load_cond(self, file_name_cond: str, img: np.ndarray) -> np.ndarray:
+        if self.cond_group is None:
+            # "uniform" conditioning: constant mean-of-sample image
+            # (data_DANRA_conditional.py:1122-1139)
+            return np.full_like(img, float(np.mean(img)))
+        member = self.cond_group[file_name_cond]
+        var = "arr_0" if "arr_0" in member else list(member.keys())[0]
+        arr = np.asarray(member[var], np.float32)
+        arr = arr.reshape(arr.shape[-2:])
+        if self.cfg.variable == "temp":
+            arr = arr - 273.15
+        return arr
+
+    # -- main --------------------------------------------------------------
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if idx in self._cache:
+            return self._cache[idx]
+        cfg = self.cfg
+        file_name = self.files[idx]
+        sample: Dict[str, np.ndarray] = {}
+
+        if cfg.conditional_seasons:
+            assert cfg.n_classes is not None, "n_classes required for labels"
+            sample["classifier"] = np.asarray(
+                DateFromFile(file_name).classify(cfg.n_classes), np.int32
+            )
+
+        img = self._load_image(file_name)
+        img_cond = (
+            self._load_cond(self.files_cond[idx], img)
+            if cfg.conditional_images
+            else None
+        )
+
+        if cfg.cutouts:
+            assert cfg.cutout_domains is not None, "cutout_domains required"
+            crop = cfg.cutout_size or cfg.data_size[0]
+            point = find_rand_points(cfg.cutout_domains, crop, self._rng)
+            x1, x2, y1, y2 = point
+            img = img[x1:x2, y1:y2]
+            if img_cond is not None:
+                img_cond = img_cond[x1:x2, y1:y2]
+            if self.lsm_full is not None:
+                sample["lsm"] = self._transform_mask(self.lsm_full[x1:x2, y1:y2])
+            if self.topo_full is not None:
+                sample["topo"] = self._transform_mask(self.topo_full[x1:x2, y1:y2])
+            if self.sdf_full is not None:
+                sdf = normalize_sdf(self.sdf_full[x1:x2, y1:y2])
+                sample["sdf"] = self._transform_mask(sdf)
+            sample["points"] = np.asarray(point, np.int32)
+
+        sample["img"] = self._transform(img)
+        if img_cond is not None:
+            sample["img_cond"] = self._transform(img_cond)
+
+        if cfg.cache_size > 0:
+            if len(self._cache) >= cfg.cache_size:
+                self._cache.popitem(last=False)
+            self._cache[idx] = sample
+        return sample
+
+    def _transform_mask(self, arr: np.ndarray) -> np.ndarray:
+        """Masks/SDF get resized (and the reference also scales them when
+        scale=True, data_DANRA_conditional.py:1171-1175 — kept)."""
+        out = _resize2d(arr, self.cfg.data_size)
+        return out[..., None]
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack dict samples into an NHWC batch (the DataLoader role)."""
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+class BatchLoader:
+    """Minimal epoch iterator: shuffle, batch, drop_last — the reference's
+    torch DataLoader role (ddpm_DANRA_conditional_wValid.py:337-341)
+    without worker processes (the store reads are mmap'd numpy)."""
+
+    def __init__(
+        self,
+        dataset: DanraDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            yield collate([self.dataset[int(i)] for i in idx])
+
+
+__all__ = ["DanraDataset", "DanraDatasetConfig", "BatchLoader", "collate"]

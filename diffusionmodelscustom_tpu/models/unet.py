@@ -1,0 +1,238 @@
+"""Flagship TPU-first conditional UNet (the framework's performance path).
+
+Architecture follows the reference's "clean" UNet
+(DDPM_clean_application/src/unet_ms.py:5-179 — DoubleConv with
+GroupNorm+GELU, MaxPool downs, bilinear-upsample ups with SiLU-Linear time
+embeddings, self-attention with a transformer FFN), widened to the full
+DANRA conditioning surface of the research model
+(modules_DANRA_conditional.py:228-256): low-res conditioning image
+(interpolated to target resolution and channel-concatenated,
+src/unet_ms.py:148-161), land-sea mask and topography channels, and an
+additive season-label embedding on the time embedding.
+
+TPU-first choices:
+
+* NHWC + bfloat16 compute (params stay f32): convs tile straight onto the
+  MXU; ``dtype=jnp.bfloat16`` halves HBM traffic.
+* Attention only at the configured inner scales (sequence <= 1024 tokens
+  at the default config) through the fused flash-attention op.
+* Everything is shape-static: conditioning is always present as channels
+  (zeros when absent) so a single compiled graph serves conditional,
+  unconditional, and CFG branches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import ImageSelfAttention
+from ..ops.embeddings import pos_encoding_block
+from ..ops.resize import resize_image, upsample_2x
+
+
+class DoubleConv(nn.Module):
+    """3x3 conv -> GroupNorm -> GELU -> 3x3 conv -> GroupNorm, optional
+    residual with trailing GELU (src/unet_ms.py:30-49)."""
+
+    out_channels: int
+    mid_channels: Optional[int] = None
+    residual: bool = False
+    num_groups: int = 1  # reference uses GroupNorm(1, ...) == LayerNorm-ish
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mid = self.mid_channels or self.out_channels
+        h = nn.Conv(
+            mid, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv1"
+        )(x)
+        h = nn.GroupNorm(
+            num_groups=min(self.num_groups, mid), dtype=self.dtype, name="gn1"
+        )(h)
+        h = nn.gelu(h)
+        h = nn.Conv(
+            self.out_channels,
+            (3, 3),
+            padding=1,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(h)
+        h = nn.GroupNorm(
+            num_groups=min(self.num_groups, self.out_channels),
+            dtype=self.dtype,
+            name="gn2",
+        )(h)
+        if self.residual:
+            return nn.gelu(x + h)
+        return h
+
+
+class Down(nn.Module):
+    """MaxPool 2x -> residual DoubleConv -> DoubleConv, then additive
+    SiLU-Linear time embedding (src/unet_ms.py:52-73)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t_emb: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = DoubleConv(in_ch, residual=True, dtype=self.dtype, name="res")(x)
+        x = DoubleConv(self.out_channels, dtype=self.dtype, name="proj")(x)
+        emb = nn.silu(t_emb)
+        emb = nn.Dense(self.out_channels, dtype=self.dtype, name="emb")(emb)
+        return x + emb[:, None, None, :]
+
+
+class Up(nn.Module):
+    """Bilinear 2x upsample -> skip concat -> residual DoubleConv ->
+    DoubleConv, then additive time embedding (src/unet_ms.py:76-100)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, skip: jnp.ndarray, t_emb: jnp.ndarray
+    ) -> jnp.ndarray:
+        x = upsample_2x(x, method="bilinear")
+        x = jnp.concatenate([skip, x], axis=-1)
+        in_ch = x.shape[-1]
+        x = DoubleConv(in_ch, residual=True, dtype=self.dtype, name="res")(x)
+        x = DoubleConv(
+            self.out_channels, mid_channels=in_ch // 2, dtype=self.dtype, name="proj"
+        )(x)
+        emb = nn.silu(t_emb)
+        emb = nn.Dense(self.out_channels, dtype=self.dtype, name="emb")(emb)
+        return x + emb[:, None, None, :]
+
+
+class ConditionalUNet(nn.Module):
+    """The flagship noise-prediction UNet.
+
+    Signature mirrors the reference black-box callable
+    model(x, t, y, cond_img, lsm_cond, topo_cond) -> eps_hat
+    (modules_DANRA_conditional.py:597-616), NHWC. Conditioning channels
+    that the config enables are always expected (pass zeros to drop them);
+    ``y`` uses label ``num_classes`` as the CFG null class.
+
+    Default widths (64,128,256) with a 256-channel bottleneck match the
+    reference UNet_downscale (src/unet_ms.py:119-136).
+    """
+
+    out_channels: int = 1
+    base_channels: int = 64
+    channel_mults: Sequence[int] = (1, 2, 4)
+    bottleneck_mult: int = 4
+    time_dim: int = 256
+    n_heads: int = 4
+    num_classes: Optional[int] = None
+    cond_img_channels: int = 0  # low-res conditioning image channels
+    cond_on_lsm: bool = False
+    cond_on_topo: bool = False
+    attention_levels: Sequence[int] = (1, 2, 3)  # after down i (1-indexed)
+    # Decoder attention by resolution level (0 = full res). The reference
+    # attends at /4, /2 and full resolution on the way up
+    # (src/unet_ms.py:131-135: sa4, sa5, sa6).
+    attention_levels_up: Sequence[int] = (2, 1, 0)
+    interp_mode: str = "bicubic"  # LR-cond upsample (src/unet_ms.py:156)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        y: Optional[jnp.ndarray] = None,
+        cond_img: Optional[jnp.ndarray] = None,
+        lsm_cond: Optional[jnp.ndarray] = None,
+        topo_cond: Optional[jnp.ndarray] = None,
+        train: bool = False,  # API parity; this net has no train-time state
+    ) -> jnp.ndarray:
+        del train
+        b, h_in, w_in, _ = x.shape
+        in_dtype = x.dtype
+
+        # --- conditioning channels (always-static channel arity) ---------
+        parts = [x.astype(self.dtype)]
+        if self.cond_on_lsm:
+            lsm = (
+                jnp.zeros((b, h_in, w_in, 1), self.dtype)
+                if lsm_cond is None
+                else lsm_cond.astype(self.dtype)
+            )
+            parts.append(lsm)
+        if self.cond_on_topo:
+            topo = (
+                jnp.zeros((b, h_in, w_in, 1), self.dtype)
+                if topo_cond is None
+                else topo_cond.astype(self.dtype)
+            )
+            parts.append(topo)
+        if self.cond_img_channels:
+            if cond_img is None:
+                ci = jnp.zeros((b, h_in, w_in, self.cond_img_channels), self.dtype)
+            else:
+                ci = cond_img.astype(self.dtype)
+                if ci.shape[1:3] != (h_in, w_in):
+                    ci = resize_image(ci, h_in, w_in, method=self.interp_mode)
+            parts.append(ci)
+        h = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+        # --- time + label embedding --------------------------------------
+        t_emb = pos_encoding_block(t, self.time_dim, n=10000.0).astype(self.dtype)
+        if self.num_classes is not None:
+            if y is None:
+                y = jnp.full((b,), self.num_classes, jnp.int32)  # null class
+            label = nn.Embed(
+                self.num_classes + 1, self.time_dim, dtype=self.dtype, name="label_emb"
+            )(y)
+            t_emb = t_emb + label
+
+        # --- encoder -----------------------------------------------------
+        widths = [self.base_channels * m for m in self.channel_mults]
+        h = DoubleConv(widths[0], dtype=self.dtype, name="inc")(h)
+        skips = [h]
+        for i, ch in enumerate(widths[1:] + [widths[-1]], start=1):
+            h = Down(ch, dtype=self.dtype, name=f"down{i}")(h, t_emb)
+            if i in self.attention_levels:
+                h = ImageSelfAttention(
+                    n_heads=self.n_heads,
+                    use_ffn=True,
+                    dtype=self.dtype,
+                    name=f"sa_down{i}",
+                )(h)
+            skips.append(h)
+
+        # --- bottleneck ---------------------------------------------------
+        mid_ch = self.base_channels * self.bottleneck_mult
+        h = DoubleConv(mid_ch, dtype=self.dtype, name="bot1")(h)
+        h = DoubleConv(skips[-1].shape[-1], dtype=self.dtype, name="bot2")(h)
+
+        # --- decoder -----------------------------------------------------
+        n_levels = len(widths)
+        up_widths = list(reversed(widths[:-1])) + [widths[0]]
+        for i in range(n_levels):
+            skip = skips[-(i + 2)]
+            h = Up(up_widths[i], dtype=self.dtype, name=f"up{i + 1}")(h, skip, t_emb)
+            level = n_levels - 1 - i  # resolution level after this Up
+            if level in self.attention_levels_up:
+                h = ImageSelfAttention(
+                    n_heads=self.n_heads,
+                    use_ffn=True,
+                    dtype=self.dtype,
+                    name=f"sa_up{i + 1}",
+                )(h)
+
+        out = nn.Conv(
+            self.out_channels, (1, 1), dtype=jnp.float32, name="outc"
+        )(h.astype(jnp.float32))
+        return out.astype(in_dtype)
+
+
+__all__ = ["DoubleConv", "Down", "Up", "ConditionalUNet"]

@@ -1,0 +1,22 @@
+"""SPMD parallelism: mesh construction and sharding rules."""
+
+from .mesh import DATA_AXIS, MODEL_AXIS, initialize_distributed, make_mesh
+from .sharding import (
+    batch_sharding,
+    params_sharding,
+    replicated,
+    shard_batch,
+    state_sharding,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "initialize_distributed",
+    "make_mesh",
+    "params_sharding",
+    "replicated",
+    "shard_batch",
+    "state_sharding",
+]

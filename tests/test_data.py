@@ -1,0 +1,146 @@
+"""Data-layer tests: store round trip, geo math, dataset semantics."""
+
+import numpy as np
+import pytest
+
+from diffusionmodelscustom_tpu.data import (
+    BatchLoader,
+    DanraDataset,
+    DanraDatasetConfig,
+    DateFromFile,
+    Scale,
+    collate,
+    find_rand_points,
+    generate_sdf,
+    make_synthetic_store,
+    normalize_sdf,
+    open_group,
+    prefetch_to_device,
+    synthetic_geography,
+    write_member,
+)
+
+
+class TestStore:
+    def test_round_trip(self, tmp_path):
+        g = open_group(tmp_path / "store", mode="a")
+        write_member(g, "day_20000101.npz", {"t": np.ones((1, 1, 8, 8), np.float32)})
+        g2 = open_group(tmp_path / "store", mode="r")
+        assert list(g2.keys()) == ["day_20000101.npz"]
+        arr = np.asarray(g2["day_20000101.npz"]["t"])
+        assert arr.shape == (1, 1, 8, 8)
+        assert "t" in g2["day_20000101.npz"]
+
+    def test_missing_member_raises(self, tmp_path):
+        g = open_group(tmp_path / "s", mode="a")
+        with pytest.raises(KeyError):
+            _ = open_group(tmp_path / "s", mode="r")["nope"]
+
+
+class TestGeo:
+    def test_sdf_formula(self):
+        mask = np.zeros((5, 5))
+        mask[2, 2] = 1.0
+        sdf = generate_sdf(mask)
+        assert sdf[2, 2] == 10.0  # land = 10*1 - 0
+        # neighbours: distance 1 to land
+        assert sdf[2, 3] == pytest.approx(-1.0)
+        assert sdf[0, 0] == pytest.approx(-np.sqrt(8))
+        norm = normalize_sdf(sdf)
+        assert norm.min() == 0.0 and norm.max() == 1.0
+
+    def test_date_classifier(self):
+        d = DateFromFile("t2m_ave_20040601.npz")
+        assert d.determine_season() == 1  # June -> JJA
+        assert d.determine_month() == 5
+        assert d.determine_day() == 152  # leap 2004: 31+29+31+30+31 + 1 - 1
+        assert DateFromFile("x_20001231").determine_season() == 3
+
+    def test_scale_round_trip(self):
+        s = Scale(0.0, 1.0, -30.0, 30.0)
+        x = np.array([-30.0, 0.0, 30.0])
+        np.testing.assert_allclose(s(x), [0.0, 0.5, 1.0])
+        np.testing.assert_allclose(s.inverse(s(x)), x)
+
+    def test_find_rand_points_bounds(self):
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            x1, x2, y1, y2 = find_rand_points([10, 100, 20, 120], 32, rng)
+            assert x2 - x1 == 32 and y2 - y1 == 32
+            assert 10 <= x1 and x2 <= 100 and 20 <= y1 and y2 <= 120
+
+
+class TestDataset:
+    @pytest.fixture
+    def stores(self, tmp_path):
+        lsm, topo = synthetic_geography((64, 64))
+        make_synthetic_store(
+            tmp_path / "hr", n_days=6, shape=(64, 64), lsm=lsm, seed=1
+        )
+        make_synthetic_store(
+            tmp_path / "lr", n_days=6, shape=(64, 64), lowres_factor=4, seed=2
+        )
+        return tmp_path, lsm, topo
+
+    def test_basic_sample(self, stores):
+        tmp_path, _, _ = stores
+        ds = DanraDataset(
+            tmp_path / "hr",
+            DanraDatasetConfig(data_size=(32, 32), conditional_seasons=True,
+                               n_classes=4),
+        )
+        assert len(ds) == 6
+        s = ds[0]
+        assert s["img"].shape == (32, 32, 1)
+        assert s["classifier"].dtype == np.int32
+        # Kelvin->Celsius then scaled to [-1, 1]
+        assert np.abs(s["img"]).max() <= 1.0 + 1e-6
+
+    def test_conditional_cutouts_with_sdf(self, stores):
+        tmp_path, lsm, topo = stores
+        cfg = DanraDatasetConfig(
+            data_size=(32, 32),
+            conditional_seasons=True,
+            conditional_images=True,
+            n_classes=4,
+            cutouts=True,
+            cutout_domains=[0, 64, 0, 64],
+            cutout_size=32,
+            sdf_weighted_loss=True,
+            n_samples=10,
+        )
+        ds = DanraDataset(
+            tmp_path / "hr",
+            cfg,
+            cond_store_path=tmp_path / "lr",
+            lsm_full_domain=lsm,
+            topo_full_domain=topo,
+        )
+        assert len(ds) == 10  # repeats files to reach n_samples
+        s = ds[3]
+        for key in ("img", "img_cond", "lsm", "topo", "sdf"):
+            assert s[key].shape == (32, 32, 1), key
+        assert s["points"].shape == (4,)
+        assert 0.0 <= s["sdf"].min() and s["sdf"].max() <= 1.0
+
+    def test_uniform_cond_image(self, stores):
+        tmp_path, _, _ = stores
+        cfg = DanraDatasetConfig(
+            data_size=(16, 16), conditional_images=True, scale=False
+        )
+        ds = DanraDataset(tmp_path / "hr", cfg)
+        s = ds[0]
+        # uniform conditioning = constant mean image
+        assert np.allclose(s["img_cond"], s["img_cond"].flat[0])
+
+    def test_batch_loader_and_prefetch(self, stores):
+        tmp_path, _, _ = stores
+        ds = DanraDataset(tmp_path / "hr", DanraDatasetConfig(data_size=(16, 16)))
+        loader = BatchLoader(ds, batch_size=2, shuffle=True, seed=3)
+        batches = list(prefetch_to_device(loader))
+        assert len(batches) == 3
+        assert batches[0]["img"].shape == (2, 16, 16, 1)
+
+    def test_collate(self):
+        s = [{"img": np.zeros((4, 4, 1))} for _ in range(3)]
+        assert collate(s)["img"].shape == (3, 4, 4, 1)

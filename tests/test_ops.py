@@ -1,0 +1,119 @@
+"""Tests for embeddings, attention, norms, resize ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusionmodelscustom_tpu.ops import (
+    ImageSelfAttention,
+    attention_core,
+    instance_norm,
+    pos_encoding_block,
+    resize_image,
+    sinusoidal_embedding,
+    upsample_2x,
+    pixel_shuffle,
+)
+from diffusionmodelscustom_tpu.ops.flash_attention import (
+    _reference_attention,
+    flash_attention,
+)
+
+
+class TestEmbeddings:
+    def test_sinusoidal_matches_reference_loop(self):
+        # Interleaved layout, n=10000: out[b,2i]=sin(x/n^(2i/d)),
+        # out[b,2i+1]=cos(...) — the reference's double loop
+        # (modules_DANRA_conditional.py:54-61), here re-coded in numpy.
+        dim, n = 16, 10000.0
+        x = np.array([0.0, 1.0, 17.0, 799.0])
+        expected = np.zeros((4, dim))
+        for b in range(4):
+            for i in range(dim // 2):
+                emb = x[b] / (n ** (2 * i / dim))
+                expected[b, 2 * i] = np.sin(emb)
+                expected[b, 2 * i + 1] = np.cos(emb)
+        got = np.asarray(sinusoidal_embedding(jnp.asarray(x), dim))
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+    def test_pos_encoding_block_matches_reference(self):
+        # Block layout [sin|cos], inv_freq = 1/n^(arange(0,d,2)/d)
+        # (modules_DANRA_conditional.py:203-211).
+        dim, n = 8, 1000.0
+        t = np.array([3.0, 100.0])
+        inv_freq = 1.0 / (n ** (np.arange(0, dim, 2) / dim))
+        angles = t[:, None] * inv_freq[None, :]
+        expected = np.concatenate([np.sin(angles), np.cos(angles)], axis=-1)
+        got = np.asarray(pos_encoding_block(jnp.asarray(t), dim, n=n))
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+class TestAttention:
+    def test_attention_core_softmax_property(self):
+        # uniform q,k -> attention is a mean over v
+        q = jnp.zeros((1, 8, 2, 4))
+        k = jnp.zeros((1, 8, 2, 4))
+        v = jax.random.normal(jax.random.key(0), (1, 8, 2, 4))
+        out = attention_core(q, k, v, use_flash=False)
+        expected = jnp.broadcast_to(v.mean(axis=1, keepdims=True), v.shape)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+    def test_image_self_attention_shapes(self):
+        m = ImageSelfAttention(n_heads=4, use_ffn=True)
+        x = jnp.zeros((2, 8, 8, 16))
+        params = m.init(jax.random.key(0), x)
+        out = m.apply(params, x)
+        assert out.shape == x.shape
+
+    def test_flash_matches_reference_interpret(self):
+        # Run the Pallas kernel in interpret mode on CPU and compare with
+        # the einsum path.
+        import functools
+        from jax.experimental import pallas as pl  # noqa: F401
+
+        b, s, h, d = 2, 1024, 2, 32
+        rng = jax.random.key(1)
+        kq, kk, kv = jax.random.split(rng, 3)
+        q = jax.random.normal(kq, (b, s, h, d))
+        k = jax.random.normal(kk, (b, s, h, d))
+        v = jax.random.normal(kv, (b, s, h, d))
+        expected = _reference_attention(q, k, v)
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            got = flash_attention(q, k, v, block_q=256, block_k=256)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=2e-3, atol=2e-3
+        )
+
+    def test_flash_fallback_small_seq(self):
+        # tiny maps fall back to einsum (no grid launch)
+        q = jax.random.normal(jax.random.key(0), (1, 64, 2, 8))
+        out = flash_attention(q, q, q)
+        assert out.shape == q.shape
+
+
+class TestNormsResize:
+    def test_instance_norm_zero_mean_unit_var(self):
+        x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3)) * 5 + 3
+        y = np.asarray(instance_norm(x))
+        np.testing.assert_allclose(y.mean(axis=(1, 2)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(y.std(axis=(1, 2)), 1.0, atol=1e-3)
+
+    def test_resize_shapes(self):
+        x = jnp.zeros((2, 8, 8, 3))
+        assert resize_image(x, 16, 16).shape == (2, 16, 16, 3)
+        assert resize_image(x, 4, 4, method="bicubic").shape == (2, 4, 4, 3)
+        assert upsample_2x(x).shape == (2, 16, 16, 3)
+
+    def test_pixel_shuffle(self):
+        x = jnp.arange(16.0).reshape(1, 1, 1, 16)
+        y = pixel_shuffle(x, 2)
+        assert y.shape == (1, 2, 2, 4)
+
+    def test_bilinear_resize_values(self):
+        x = jnp.array([[1.0, 2.0], [3.0, 4.0]]).reshape(1, 2, 2, 1)
+        y = resize_image(x, 4, 4)
+        assert float(y.min()) >= 1.0 and float(y.max()) <= 4.0

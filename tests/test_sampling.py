@@ -1,0 +1,82 @@
+"""Sampler tests: fused-scan ancestral and DDIM paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionmodelscustom_tpu.core.ddpm import GaussianDiffusion
+from diffusionmodelscustom_tpu.sampling import ancestral_sample, ddim_sample
+
+
+def test_ancestral_with_perfect_denoiser_recovers_mean():
+    # If the "model" always predicts the exact noise that would map x back
+    # to a constant image c, sampling converges near c.
+    diff = GaussianDiffusion.create(n_timesteps=100)
+    c = 0.7
+
+    def denoise_fn(x, t):
+        # eps consistent with x_t = sqrt(ab) c + sqrt(1-ab) eps
+        ab = diff.alpha_bar[t].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(ab) * c) / jnp.sqrt(1 - ab)
+
+    out = ancestral_sample(
+        denoise_fn, diff, jax.random.key(0), (4, 8, 8, 1)
+    )
+    assert out.shape == (4, 8, 8, 1)
+    assert abs(float(out.mean()) - c) < 0.2
+
+
+def test_ancestral_jittable():
+    diff = GaussianDiffusion.create(n_timesteps=10)
+
+    def denoise_fn(x, t):
+        return jnp.zeros_like(x)
+
+    f = jax.jit(
+        lambda rng: ancestral_sample(denoise_fn, diff, rng, (2, 8, 8, 1))
+    )
+    out = f(jax.random.key(1))
+    assert out.shape == (2, 8, 8, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ddim_deterministic_and_fast():
+    diff = GaussianDiffusion.create(n_timesteps=1000)
+    c = -0.3
+
+    def denoise_fn(x, t):
+        ab = diff.alpha_bar[t].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(ab) * c) / jnp.sqrt(1 - ab)
+
+    out = ddim_sample(
+        denoise_fn, diff, jax.random.key(0), (2, 8, 8, 1), num_steps=20
+    )
+    assert out.shape == (2, 8, 8, 1)
+    np.testing.assert_allclose(np.asarray(out), c, atol=1e-2)
+
+    # eta=0 is deterministic given the same init noise
+    out2 = ddim_sample(
+        denoise_fn, diff, jax.random.key(0), (2, 8, 8, 1), num_steps=20
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_cfg_path_changes_output():
+    diff = GaussianDiffusion.create(n_timesteps=50)
+
+    def cond_fn(x, t):
+        return jnp.full_like(x, 0.1)
+
+    def uncond_fn(x, t):
+        return jnp.full_like(x, -0.1)
+
+    a = ancestral_sample(cond_fn, diff, jax.random.key(0), (1, 4, 4, 1))
+    b = ancestral_sample(
+        cond_fn,
+        diff,
+        jax.random.key(0),
+        (1, 4, 4, 1),
+        uncond_fn=uncond_fn,
+        cfg_scale=2.0,
+    )
+    assert not np.allclose(np.asarray(a), np.asarray(b))
