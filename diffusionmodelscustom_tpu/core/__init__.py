@@ -11,7 +11,9 @@ from .schedules import (
     make_beta_schedule,
     right_pad_dims_to,
 )
+from .continuous import ContinuousDiffusion, dynamic_threshold
 from .ddpm import GaussianDiffusion
+from .edm import EDMConfig
 from .losses import (
     classifier_free_guidance,
     get_loss,
@@ -24,7 +26,10 @@ from .losses import (
 )
 
 __all__ = [
+    "ContinuousDiffusion",
+    "EDMConfig",
     "GaussianDiffusion",
+    "dynamic_threshold",
     "alpha_cosine_log_snr",
     "beta_linear_log_snr",
     "classifier_free_guidance",

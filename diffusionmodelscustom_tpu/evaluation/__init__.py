@@ -1,0 +1,29 @@
+"""Evaluation: ocean-masked error metrics, CRPS, spatial statistics."""
+
+from .metrics import (
+    crps_ensemble,
+    daily_errors,
+    evaluate_fields,
+    heidke_skill_score,
+    masked_mae,
+    masked_rmse,
+    mean_bias,
+    morans_i,
+    peirce_skill_score,
+    pixel_distribution,
+    pixel_errors,
+)
+
+__all__ = [
+    "crps_ensemble",
+    "daily_errors",
+    "evaluate_fields",
+    "heidke_skill_score",
+    "masked_mae",
+    "masked_rmse",
+    "mean_bias",
+    "morans_i",
+    "peirce_skill_score",
+    "pixel_distribution",
+    "pixel_errors",
+]

@@ -1,0 +1,234 @@
+"""Evaluation metrics for generated climate fields.
+
+Implements the reference's evaluation protocol
+(DDPM_DANRA_conditional/evaluation_DANRA_conditional.py):
+
+* ocean masking via the land-sea mask (:93-96);
+* daily (per-sample) and pixel-wise MAE/RMSE over land pixels (:121-133);
+* pixel-value distributions and mean bias (:164-179);
+
+plus the metrics the reference left as TODOs (:251-257 "FID, Heidke/
+Pierce skill scores, EV analysis, spatial/temporal bias"):
+
+* CRPS (ensemble form, the standard probabilistic skill score for this
+  downscaling task);
+* Moran's I spatial autocorrelation (scaffolded-but-commented in the
+  reference at :182-192, implemented here with rook contiguity weights);
+* Heidke and Peirce skill scores for thresholded events.
+
+All functions take channel-last numpy/jax arrays; masks are boolean with
+True = land (included).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _maskify(x: np.ndarray, mask: Optional[np.ndarray]) -> np.ma.MaskedArray:
+    x = np.asarray(x, np.float64)
+    if mask is None:
+        return np.ma.masked_invalid(x)
+    mask = np.broadcast_to(np.asarray(mask, bool), x.shape)
+    return np.ma.masked_array(x, mask=~mask)
+
+
+def masked_mae(gen: np.ndarray, ref: np.ndarray, mask=None) -> float:
+    """Mean |gen - ref| over unmasked (land) pixels."""
+    d = _maskify(gen, mask) - _maskify(ref, mask)
+    return float(np.ma.mean(np.ma.abs(d)))
+
+
+def masked_rmse(gen: np.ndarray, ref: np.ndarray, mask=None) -> float:
+    d = _maskify(gen, mask) - _maskify(ref, mask)
+    return float(np.sqrt(np.ma.mean(d**2)))
+
+
+def daily_errors(
+    gen: np.ndarray, ref: np.ndarray, mask=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-sample (MAE, RMSE) arrays, land-masked
+    (evaluation_DANRA_conditional.py:121-127)."""
+    n = gen.shape[0]
+    mae = np.empty(n)
+    rmse = np.empty(n)
+    for i in range(n):
+        m = mask[i] if (mask is not None and np.ndim(mask) == gen.ndim) else mask
+        mae[i] = masked_mae(gen[i], ref[i], m)
+        rmse[i] = masked_rmse(gen[i], ref[i], m)
+    return mae, rmse
+
+
+def pixel_errors(
+    gen: np.ndarray, ref: np.ndarray, mask=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-pixel (MAE, RMSE) maps over the sample axis
+    (evaluation_DANRA_conditional.py:128-133)."""
+    g = _maskify(gen, mask)
+    r = _maskify(ref, mask)
+    d = g - r
+    return (
+        np.ma.mean(np.ma.abs(d), axis=0).filled(np.nan),
+        np.ma.sqrt(np.ma.mean(d**2, axis=0)).filled(np.nan),
+    )
+
+
+def mean_bias(gen: np.ndarray, ref: np.ndarray, mask=None) -> float:
+    """Mean(gen) - mean(ref) over land
+    (evaluation_DANRA_conditional.py:164-179)."""
+    return float(np.ma.mean(_maskify(gen, mask)) - np.ma.mean(_maskify(ref, mask)))
+
+
+def pixel_distribution(
+    x: np.ndarray, mask=None, bins: int = 100, range_=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Histogram of unmasked pixel values (density)."""
+    vals = _maskify(x, mask).compressed()
+    hist, edges = np.histogram(vals, bins=bins, range=range_, density=True)
+    return hist, edges
+
+
+def crps_ensemble(
+    ensemble: np.ndarray, observation: np.ndarray, mask=None
+) -> float:
+    """Continuous ranked probability score, fair-ensemble estimator.
+
+    CRPS = E|X - y| - 0.5 E|X - X'| averaged over unmasked pixels.
+    ``ensemble``: (M, ...) member axis first; ``observation``: (...).
+    (One of the reference's planned-but-missing metrics,
+    evaluation_DANRA_conditional.py:251-257.)
+    """
+    ens = np.asarray(ensemble, np.float64)
+    obs = np.asarray(observation, np.float64)
+    m = ens.shape[0]
+    term1 = np.mean(np.abs(ens - obs[None]), axis=0)
+    # pairwise member spread
+    spread = np.zeros_like(obs)
+    for i in range(m):
+        spread = spread + np.sum(np.abs(ens[i] - ens[i + 1 :]), axis=0)
+    term2 = spread * 2.0 / (m * (m - 1)) if m > 1 else np.zeros_like(obs)
+    crps = term1 - 0.5 * term2
+    return float(np.ma.mean(_maskify(crps, mask)))
+
+
+def morans_i(field: np.ndarray, mask=None) -> float:
+    """Moran's I with rook-contiguity weights on the grid.
+
+    I = (N/W) * sum_ij w_ij z_i z_j / sum_i z_i^2 over unmasked cells
+    (the reference scaffolded this with esda/pysal and commented it out,
+    evaluation_DANRA_conditional.py:182-192).
+    """
+    f = np.asarray(field, np.float64).squeeze()
+    assert f.ndim == 2, "morans_i expects one (H, W) field"
+    valid = (
+        np.broadcast_to(np.asarray(mask, bool).squeeze(), f.shape)
+        if mask is not None
+        else np.ones_like(f, bool)
+    )
+    z = np.where(valid, f - f[valid].mean(), 0.0)
+    num = 0.0
+    w_sum = 0.0
+    # rook neighbours: right and down (each pair counted twice -> x2)
+    for dy, dx in ((0, 1), (1, 0)):
+        a = z[: f.shape[0] - dy, : f.shape[1] - dx]
+        b = z[dy:, dx:]
+        va = valid[: f.shape[0] - dy, : f.shape[1] - dx]
+        vb = valid[dy:, dx:]
+        pair_valid = va & vb
+        num += 2.0 * np.sum(a * b * pair_valid)
+        w_sum += 2.0 * np.sum(pair_valid)
+    denom = np.sum(z[valid] ** 2)
+    n = valid.sum()
+    if denom == 0 or w_sum == 0:
+        return 0.0
+    return float(n / w_sum * num / denom)
+
+
+def _contingency(
+    gen: np.ndarray, ref: np.ndarray, threshold: float, mask=None
+) -> Tuple[float, float, float, float]:
+    g = _maskify(gen, mask)
+    r = _maskify(ref, mask)
+    valid = ~np.ma.getmaskarray(g)
+    ge = (np.asarray(g) >= threshold) & valid
+    re = (np.asarray(r) >= threshold) & valid
+    a = float(np.sum(ge & re))  # hits
+    b = float(np.sum(ge & ~re & valid))  # false alarms
+    c = float(np.sum(~ge & valid & re))  # misses
+    d = float(np.sum(~ge & ~re & valid))  # correct negatives
+    return a, b, c, d
+
+
+def heidke_skill_score(
+    gen: np.ndarray, ref: np.ndarray, threshold: float, mask=None
+) -> float:
+    """HSS for exceedance events (reference TODO metric)."""
+    a, b, c, d = _contingency(gen, ref, threshold, mask)
+    denom = (a + c) * (c + d) + (a + b) * (b + d)
+    if denom == 0:
+        return 0.0
+    return float(2.0 * (a * d - b * c) / denom)
+
+
+def peirce_skill_score(
+    gen: np.ndarray, ref: np.ndarray, threshold: float, mask=None
+) -> float:
+    """PSS (true skill statistic) for exceedance events."""
+    a, b, c, d = _contingency(gen, ref, threshold, mask)
+    denom = (a + c) * (b + d)
+    if denom == 0:
+        return 0.0
+    return float((a * d - b * c) / denom)
+
+
+def evaluate_fields(
+    gen: np.ndarray,
+    ref: np.ndarray,
+    lsm: Optional[np.ndarray] = None,
+    *,
+    event_threshold: Optional[float] = None,
+) -> Dict[str, float]:
+    """Full scorecard over a (N, H, W[, C]) generated-vs-truth pair —
+    the single-call equivalent of the reference's evaluation script."""
+    mask = (np.asarray(lsm) > 0.5) if lsm is not None else None
+    daily_mae, daily_rmse = daily_errors(gen, ref, mask)
+    out = {
+        "mae": masked_mae(gen, ref, mask),
+        "rmse": masked_rmse(gen, ref, mask),
+        "bias": mean_bias(gen, ref, mask),
+        "daily_mae_mean": float(daily_mae.mean()),
+        "daily_rmse_mean": float(daily_rmse.mean()),
+        "morans_i_gen": float(
+            np.mean(
+                [morans_i(gen[i], mask[i] if np.ndim(mask) == gen.ndim else mask)
+                 for i in range(min(len(gen), 16))]
+            )
+        ),
+        "morans_i_ref": float(
+            np.mean(
+                [morans_i(ref[i], mask[i] if np.ndim(mask) == ref.ndim else mask)
+                 for i in range(min(len(ref), 16))]
+            )
+        ),
+    }
+    if event_threshold is not None:
+        out["heidke"] = heidke_skill_score(gen, ref, event_threshold, mask)
+        out["peirce"] = peirce_skill_score(gen, ref, event_threshold, mask)
+    return out
+
+
+__all__ = [
+    "masked_mae",
+    "masked_rmse",
+    "daily_errors",
+    "pixel_errors",
+    "mean_bias",
+    "pixel_distribution",
+    "crps_ensemble",
+    "morans_i",
+    "heidke_skill_score",
+    "peirce_skill_score",
+    "evaluate_fields",
+]

@@ -1,0 +1,460 @@
+"""Cascaded text-conditional diffusion: the Imagen orchestrator.
+
+Functional rebuild of ``Imagen`` (CascadedDDPM/imagen_pytorch.py:
+3312-4594) and ``ElucidatedImagen`` (elucidated_imagen.py:77-939): the
+class holds module definitions + per-stage hyperparameters; parameters are
+passed explicitly, so training steps and the cascade sampler jit cleanly.
+
+Feature parity:
+
+* per-unet timesteps / noise schedules / prediction objectives
+  (imagen_pytorch.py:3397-3423);
+* lowres conditioning: previous stage output resized up and *re-noised*
+  with an augmentation level, which the SR unet is told about
+  (imagen_pytorch.py:3347-3349, 4203-4220);
+* classifier-free guidance via per-sample conditioning dropout at train
+  time and cond_scale lerp at sample time (imagen_pytorch.py:3716,
+  4374-4389);
+* dynamic thresholding of x0 estimates (imagen_pytorch.py:3751-3769);
+* p_losses with min-SNR-gamma reweighting and noise/x0/v objectives
+  (imagen_pytorch.py:4284-4441);
+* image [0,1] <-> [-1,1] normalization at the cascade boundary
+  (imagen_pytorch.py:499-511);
+* elucidated variant: EDM preconditioned forward, log-normal sigma
+  training, churn sampling (elucidated_imagen.py).
+
+Inpainting-by-resampling and the video (Unet3D) pathway are not yet
+implemented (tracked gaps for a later round).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ...core.continuous import ContinuousDiffusion, dynamic_threshold
+from ...core.edm import EDMConfig
+from ...core.losses import (
+    classifier_free_guidance,
+    huber_loss,
+    l1_loss,
+    simple_loss,
+)
+from ...ops.resize import resize_image
+from ...sampling.edm import edm_sample
+
+_LOSSES = {"l1": l1_loss, "l2": simple_loss, "huber": huber_loss}
+
+
+def normalize_neg_one_to_one(x):
+    """[0,1] -> [-1,1] (imagen_pytorch.py:499-505)."""
+    return x * 2.0 - 1.0
+
+
+def unnormalize_zero_to_one(x):
+    """[-1,1] -> [0,1] (imagen_pytorch.py:507-511)."""
+    return (x + 1.0) * 0.5
+
+
+def _cast_per_unet(value, n):
+    if isinstance(value, (list, tuple)):
+        assert len(value) == n
+        return list(value)
+    return [value] * n
+
+
+@dataclasses.dataclass
+class Imagen:
+    """DDPM-cascade orchestrator (continuous-time noise schedulers)."""
+
+    unets: Sequence[Any]  # ImagenUNet / NullUnet modules
+    image_sizes: Sequence[int]
+    channels: int = 3
+    timesteps: int | Sequence[int] = 1000
+    noise_schedules: str | Sequence[str] = "cosine"
+    pred_objectives: str | Sequence[str] = "noise"
+    loss_type: str = "l2"
+    cond_drop_prob: float = 0.1
+    lowres_sample_noise_level: float = 0.2
+    per_sample_random_aug_noise_level: bool = False
+    dynamic_thresholding: bool | Sequence[bool] = True
+    dynamic_thresholding_percentile: float = 0.95
+    min_snr_gamma: Optional[float] = 5.0
+    auto_normalize_img: bool = True
+
+    def __post_init__(self):
+        n = len(self.unets)
+        assert len(self.image_sizes) == n, "one image size per unet"
+        self.timesteps = _cast_per_unet(self.timesteps, n)
+        self.noise_schedules = _cast_per_unet(self.noise_schedules, n)
+        self.pred_objectives = _cast_per_unet(self.pred_objectives, n)
+        self.dynamic_thresholding = _cast_per_unet(self.dynamic_thresholding, n)
+        self.noise_schedulers = [
+            ContinuousDiffusion(noise_schedule=s, num_timesteps=t)
+            for s, t in zip(self.noise_schedules, self.timesteps)
+        ]
+        # lowres aug noise always uses the linear log-SNR schedule
+        # (imagen_pytorch.py:3347-3349)
+        self.lowres_noise_schedule = ContinuousDiffusion(noise_schedule="linear")
+        self.loss_fn = _LOSSES[self.loss_type]
+
+    # -- init ---------------------------------------------------------------
+
+    def init_unet_params(self, unet_index: int, rng: jax.Array, text_embed_dim=None):
+        unet = self.unets[unet_index]
+        size = self.image_sizes[unet_index]
+        b = 2
+        x = jnp.zeros((b, size, size, self.channels))
+        noise_cond = jnp.zeros((b,))
+        kwargs = {}
+        if text_embed_dim is not None:
+            kwargs["text_embeds"] = jnp.zeros((b, 4, text_embed_dim))
+            kwargs["text_mask"] = jnp.ones((b, 4), bool)
+        if getattr(unet, "lowres_cond", False):
+            kwargs["lowres_cond_img"] = jnp.zeros_like(x)
+            kwargs["lowres_noise_cond"] = jnp.zeros((b,))
+        return unet.init(rng, x, noise_cond, **kwargs)
+
+    # -- training -----------------------------------------------------------
+
+    def p_losses(
+        self,
+        unet_index: int,
+        params,
+        images: jnp.ndarray,  # (B, H, W, C) in [0,1] (auto-normalized)
+        rng: jax.Array,
+        *,
+        text_embeds: Optional[jnp.ndarray] = None,
+        text_mask: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        """Stage loss (imagen_pytorch.py:4284-4441 + forward:4443-4594)."""
+        unet = self.unets[unet_index]
+        scheduler = self.noise_schedulers[unet_index]
+        objective = self.pred_objectives[unet_index]
+        size = self.image_sizes[unet_index]
+        b = images.shape[0]
+
+        r_t, r_noise, r_drop, r_aug, r_augn = jax.random.split(rng, 5)
+
+        x_start = images
+        if self.auto_normalize_img:
+            x_start = normalize_neg_one_to_one(x_start)
+
+        # lowres conditioning from the ground truth of the previous stage
+        lowres_cond_img = None
+        lowres_aug_times = None
+        if getattr(unet, "lowres_cond", False):
+            prev_size = self.image_sizes[unet_index - 1]
+            lowres = resize_image(x_start, prev_size, prev_size)
+            lowres_cond_img = resize_image(lowres, size, size)
+            # augment with noise and tell the unet the level
+            # (imagen_pytorch.py:4355-4370)
+            if self.per_sample_random_aug_noise_level:
+                lowres_aug_times = self.lowres_noise_schedule.sample_random_times(
+                    r_aug, b
+                )
+            else:
+                aug = jax.random.uniform(r_aug, ())
+                lowres_aug_times = jnp.full((b,), 1.0) * aug
+            lr_noise = jax.random.normal(r_augn, lowres_cond_img.shape)
+            lowres_cond_img, *_ = self.lowres_noise_schedule.q_sample(
+                lowres_cond_img, lowres_aug_times, lr_noise
+            )
+
+        x_start = resize_image(x_start, size, size)
+        times = scheduler.sample_random_times(r_t, b)
+        noise = jax.random.normal(r_noise, x_start.shape)
+        x_noisy, log_snr, alpha, sigma = scheduler.q_sample(x_start, times, noise)
+
+        cond_drop_mask = None
+        if train and self.cond_drop_prob > 0 and text_embeds is not None:
+            cond_drop_mask = jax.random.bernoulli(r_drop, self.cond_drop_prob, (b,))
+
+        kwargs = dict(
+            text_embeds=text_embeds,
+            text_mask=text_mask,
+            cond_drop_mask=cond_drop_mask,
+        )
+        if lowres_cond_img is not None:
+            kwargs.update(
+                lowres_cond_img=lowres_cond_img,
+                lowres_noise_cond=self.lowres_noise_schedule.get_condition(
+                    lowres_aug_times
+                ),
+            )
+        pred = unet.apply(params, x_noisy, log_snr, **kwargs)
+
+        if objective == "noise":
+            target = noise
+        elif objective == "x_start":
+            target = x_start
+        elif objective == "v":
+            target = scheduler.calculate_v(x_start, times, noise)
+        else:
+            raise ValueError(f"unknown objective {objective!r}")
+
+        err = (pred.astype(jnp.float32) - target.astype(jnp.float32))
+        per_sample = jnp.mean(
+            jnp.abs(err) if self.loss_type == "l1" else err * err,
+            axis=tuple(range(1, err.ndim)),
+        )
+
+        # min-SNR-gamma reweighting (imagen_pytorch.py:4416-4438)
+        if self.min_snr_gamma is not None:
+            snr = jnp.exp(log_snr)
+            clipped = jnp.minimum(snr, self.min_snr_gamma)
+            if objective == "noise":
+                w = clipped / jnp.clip(snr, 1e-8, None)
+            elif objective == "v":
+                w = clipped / (snr + 1.0)
+            else:
+                w = clipped
+            per_sample = per_sample * w
+        return jnp.mean(per_sample)
+
+    # -- sampling -----------------------------------------------------------
+
+    def _stage_sample(
+        self,
+        unet_index: int,
+        params,
+        rng: jax.Array,
+        batch: int,
+        *,
+        text_embeds=None,
+        text_mask=None,
+        cond_scale: float = 1.0,
+        lowres_cond_img=None,
+        lowres_noise_cond=None,
+    ) -> jnp.ndarray:
+        """One stage's p_sample_loop with CFG + dynamic thresholding."""
+        unet = self.unets[unet_index]
+        scheduler = self.noise_schedulers[unet_index]
+        objective = self.pred_objectives[unet_index]
+        use_thresh = self.dynamic_thresholding[unet_index]
+        size = self.image_sizes[unet_index]
+        shape = (batch, size, size, self.channels)
+
+        kwargs = dict(text_embeds=text_embeds, text_mask=text_mask)
+        if lowres_cond_img is not None:
+            kwargs.update(
+                lowres_cond_img=lowres_cond_img,
+                lowres_noise_cond=lowres_noise_cond,
+            )
+
+        def model_fn(x, log_snr_cond, t):
+            pred = unet.apply(params, x, log_snr_cond, **kwargs)
+            if cond_scale != 1.0 and text_embeds is not None:
+                drop = jnp.ones((x.shape[0],), bool)
+                uncond = unet.apply(
+                    params, x, log_snr_cond, cond_drop_mask=drop, **kwargs
+                )
+                pred = classifier_free_guidance(uncond, pred, cond_scale)
+            return pred
+
+        from ...sampling.continuous import p_sample_loop_continuous
+
+        return p_sample_loop_continuous(
+            model_fn,
+            scheduler,
+            rng,
+            shape,
+            pred_objective=objective,
+            use_dynamic_threshold=bool(use_thresh),
+            threshold_percentile=self.dynamic_thresholding_percentile,
+        )
+
+    def sample(
+        self,
+        params_list: List[Any],
+        rng: jax.Array,
+        *,
+        batch_size: int = 1,
+        text_embeds: Optional[jnp.ndarray] = None,
+        text_mask: Optional[jnp.ndarray] = None,
+        cond_scale: float = 1.0,
+        stop_at_unet_number: Optional[int] = None,
+        start_image_or_video: Optional[jnp.ndarray] = None,
+        start_at_unet_number: int = 1,
+    ) -> jnp.ndarray:
+        """Walk the cascade (imagen_pytorch.py:4007-4280): each stage
+        samples at its resolution, conditioning on the previous stage's
+        output resized + re-noised at ``lowres_sample_noise_level``."""
+        img = start_image_or_video
+        n = len(self.unets)
+        for idx in range(start_at_unet_number - 1, n):
+            rng, stage_rng, aug_rng = jax.random.split(rng, 3)
+            unet = self.unets[idx]
+            lowres_cond_img = None
+            lowres_noise_cond = None
+            if getattr(unet, "lowres_cond", False):
+                assert img is not None, "SR stage requires a previous image"
+                size = self.image_sizes[idx]
+                lowres_cond_img = resize_image(img, size, size)
+                aug_times = jnp.full(
+                    (batch_size,), self.lowres_sample_noise_level
+                )
+                lowres_cond_img, *_ = self.lowres_noise_schedule.q_sample(
+                    lowres_cond_img,
+                    aug_times,
+                    jax.random.normal(aug_rng, lowres_cond_img.shape),
+                )
+                lowres_noise_cond = self.lowres_noise_schedule.get_condition(
+                    aug_times
+                )
+            img = self._stage_sample(
+                idx,
+                params_list[idx],
+                stage_rng,
+                batch_size,
+                text_embeds=text_embeds,
+                text_mask=text_mask,
+                cond_scale=cond_scale,
+                lowres_cond_img=lowres_cond_img,
+                lowres_noise_cond=lowres_noise_cond,
+            )
+            if stop_at_unet_number is not None and idx + 1 >= stop_at_unet_number:
+                break
+        if self.auto_normalize_img:
+            img = unnormalize_zero_to_one(img)
+        return img
+
+
+@dataclasses.dataclass
+class ElucidatedImagen(Imagen):
+    """EDM cascade variant (elucidated_imagen.py:77-939): same structure,
+    Karras-preconditioned unets, log-normal sigma training, churn
+    sampling."""
+
+    edm: EDMConfig | Sequence[EDMConfig] = dataclasses.field(
+        default_factory=EDMConfig
+    )
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.edm_configs = _cast_per_unet(self.edm, len(self.unets))
+
+    def p_losses(
+        self,
+        unet_index: int,
+        params,
+        images: jnp.ndarray,
+        rng: jax.Array,
+        *,
+        text_embeds=None,
+        text_mask=None,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        """EDM training loss (elucidated_imagen.py:700-790)."""
+        unet = self.unets[unet_index]
+        cfg = self.edm_configs[unet_index]
+        size = self.image_sizes[unet_index]
+        b = images.shape[0]
+        r_sigma, r_noise, r_drop, r_aug, r_augn = jax.random.split(rng, 5)
+
+        x_start = images
+        if self.auto_normalize_img:
+            x_start = normalize_neg_one_to_one(x_start)
+
+        lowres_cond_img = None
+        lowres_aug_times = None
+        if getattr(unet, "lowres_cond", False):
+            prev_size = self.image_sizes[unet_index - 1]
+            lowres = resize_image(x_start, prev_size, prev_size)
+            lowres_cond_img = resize_image(lowres, size, size)
+            aug = jax.random.uniform(r_aug, ())
+            lowres_aug_times = jnp.full((b,), 1.0) * aug
+            lowres_cond_img, *_ = self.lowres_noise_schedule.q_sample(
+                lowres_cond_img,
+                lowres_aug_times,
+                jax.random.normal(r_augn, lowres_cond_img.shape),
+            )
+
+        x_start = resize_image(x_start, size, size)
+        sigmas = cfg.noise_distribution(r_sigma, b)
+        from ...core.schedules import right_pad_dims_to
+
+        padded = right_pad_dims_to(x_start, sigmas)
+        noised = x_start + padded * jax.random.normal(r_noise, x_start.shape)
+
+        cond_drop_mask = None
+        if train and self.cond_drop_prob > 0 and text_embeds is not None:
+            cond_drop_mask = jax.random.bernoulli(r_drop, self.cond_drop_prob, (b,))
+
+        kwargs = dict(
+            text_embeds=text_embeds,
+            text_mask=text_mask,
+            cond_drop_mask=cond_drop_mask,
+        )
+        if lowres_cond_img is not None:
+            kwargs.update(
+                lowres_cond_img=lowres_cond_img,
+                lowres_noise_cond=self.lowres_noise_schedule.get_condition(
+                    lowres_aug_times
+                ),
+            )
+
+        denoised = cfg.precondition(
+            lambda xx, nc: unet.apply(params, xx, nc, **kwargs), noised, sigmas
+        )
+        err = denoised.astype(jnp.float32) - x_start.astype(jnp.float32)
+        per_sample = jnp.mean(err * err, axis=tuple(range(1, err.ndim)))
+        return jnp.mean(per_sample * cfg.loss_weight(sigmas))
+
+    def _stage_sample(
+        self,
+        unet_index: int,
+        params,
+        rng: jax.Array,
+        batch: int,
+        *,
+        text_embeds=None,
+        text_mask=None,
+        cond_scale: float = 1.0,
+        lowres_cond_img=None,
+        lowres_noise_cond=None,
+    ) -> jnp.ndarray:
+        unet = self.unets[unet_index]
+        cfg = self.edm_configs[unet_index]
+        size = self.image_sizes[unet_index]
+        shape = (batch, size, size, self.channels)
+        use_thresh = self.dynamic_thresholding[unet_index]
+
+        kwargs = dict(text_embeds=text_embeds, text_mask=text_mask)
+        if lowres_cond_img is not None:
+            kwargs.update(
+                lowres_cond_img=lowres_cond_img,
+                lowres_noise_cond=lowres_noise_cond,
+            )
+
+        def denoise_fn(x, sigma_b):
+            def net(xx, nc):
+                pred = unet.apply(params, xx, nc, **kwargs)
+                if cond_scale != 1.0 and text_embeds is not None:
+                    drop = jnp.ones((xx.shape[0],), bool)
+                    uncond = unet.apply(
+                        params, xx, nc, cond_drop_mask=drop, **kwargs
+                    )
+                    pred = classifier_free_guidance(uncond, pred, cond_scale)
+                return pred
+
+            out = cfg.precondition(net, x, sigma_b)
+            if use_thresh:
+                out = dynamic_threshold(out, self.dynamic_thresholding_percentile)
+            else:
+                out = jnp.clip(out, -1.0, 1.0)
+            return out
+
+        return edm_sample(denoise_fn, cfg, rng, shape, clamp=True)
+
+
+__all__ = [
+    "Imagen",
+    "ElucidatedImagen",
+    "normalize_neg_one_to_one",
+    "unnormalize_zero_to_one",
+]

@@ -1,0 +1,518 @@
+"""Imagen-style text-conditional UNet, TPU-first.
+
+Rebuild of the cascade's ``Unet`` (CascadedDDPM/imagen_pytorch.py:
+2347-3311, ~50 config knobs) with the load-bearing structure:
+
+* continuous noise conditioning: log-SNR scalar -> learned-sinusoidal
+  features -> MLP -> (time_cond FiLM vector, time tokens)
+  (imagen_pytorch.py:2458-2483);
+* separate lowres-noise-level conditioning tower added to both
+  (imagen_pytorch.py:2490-2512);
+* text conditioning: token projection to cond_dim, attention-pooled
+  global vector added to time_cond, learned **null embeddings** swapped
+  in per-sample for classifier-free guidance
+  (imagen_pytorch.py:2960-3010);
+* FiLM ResnetBlocks (GroupNorm -> (scale,shift) -> SiLU -> 3x3 conv,
+  imagen_pytorch.py:1498-1540,1552-1650), cross-attention to text tokens
+  at configured levels, self-attention TransformerBlocks at coarse levels
+  (through the fused flash-attention op);
+* channel-concat of the lowres conditioning image and optional cond
+  image / self-conditioning (imagen_pytorch.py:2424-2441);
+* skip connections with concat, ups/downs by strided conv / resize-conv.
+
+Presets ``base_unet_64`` / ``sr_unet_256`` mirror BaseUnet64/SRUnet256
+(imagen_pytorch.py:3231-3283).
+
+Divergences (documented): NHWC layout; the PerceiverResampler text pooler
+is replaced by masked attention pooling (same role: text tokens -> fixed
+global summary) — a full resampler can drop in behind the same interface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.attention import attention_core
+from ...ops.embeddings import learned_sinusoidal_embedding
+from ...ops.resize import resize_image
+
+
+class CrossAttention(nn.Module):
+    """Image tokens attend to text tokens (imagen_pytorch.py:1678-1800).
+
+    Mask positions are excluded via a large negative bias; a learned
+    null key/value pair guarantees a valid attention target even for
+    fully-masked (null) conditioning."""
+
+    n_heads: int = 8
+    head_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, S, C) image tokens
+        context: jnp.ndarray,  # (B, L, D) text tokens
+        mask: Optional[jnp.ndarray] = None,  # (B, L) bool
+    ) -> jnp.ndarray:
+        b, s, c = x.shape
+        inner = self.n_heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        null_kv = self.param(
+            "null_kv", nn.initializers.normal(0.02), (2, inner), jnp.float32
+        ).astype(self.dtype)
+        k = jnp.concatenate(
+            [jnp.broadcast_to(null_kv[0], (b, 1, inner)), k], axis=1
+        )
+        v = jnp.concatenate(
+            [jnp.broadcast_to(null_kv[1], (b, 1, inner)), v], axis=1
+        )
+
+        q = q.reshape(b, s, self.n_heads, self.head_dim)
+        k = k.reshape(b, -1, self.n_heads, self.head_dim)
+        v = v.reshape(b, -1, self.n_heads, self.head_dim)
+
+        scale = self.head_dim**-0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        if mask is not None:
+            full_mask = jnp.concatenate(
+                [jnp.ones((b, 1), bool), mask.astype(bool)], axis=1
+            )
+            logits = jnp.where(
+                full_mask[:, None, None, :], logits, jnp.float32(-1e9)
+            )
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            q.dtype
+        )
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(b, s, inner)
+        return nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_out")(out)
+
+
+class ResnetBlock(nn.Module):
+    """FiLM resnet block (imagen_pytorch.py:1498-1650): two GroupNorm ->
+    (scale,shift) -> SiLU -> conv blocks, residual 1x1, optional
+    cross-attention to text tokens."""
+
+    out_channels: int
+    cond_dim: Optional[int] = None  # enables cross-attention
+    time_cond_dim: Optional[int] = None
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        time_emb: Optional[jnp.ndarray] = None,
+        context: Optional[jnp.ndarray] = None,
+        context_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        scale_shift = None
+        if time_emb is not None:
+            h_t = nn.silu(time_emb)
+            h_t = nn.Dense(
+                2 * self.out_channels, dtype=self.dtype, name="time_mlp"
+            )(h_t)
+            scale, shift = jnp.split(h_t[:, None, None, :], 2, axis=-1)
+            scale_shift = (scale, shift)
+
+        def block(h, use_film, name):
+            h = nn.GroupNorm(
+                num_groups=min(self.groups, h.shape[-1]),
+                dtype=self.dtype,
+                name=f"{name}_gn",
+            )(h)
+            if use_film and scale_shift is not None:
+                h = h * (scale_shift[0] + 1.0) + scale_shift[1]
+            h = nn.silu(h)
+            return nn.Conv(
+                self.out_channels,
+                (3, 3),
+                padding=1,
+                dtype=self.dtype,
+                name=f"{name}_conv",
+            )(h)
+
+        h = block(x, use_film=False, name="block1")
+
+        if context is not None and self.cond_dim is not None:
+            b, hh, ww, cc = h.shape
+            tokens = h.reshape(b, hh * ww, cc)
+            tokens = tokens + CrossAttention(
+                dtype=self.dtype, name="cross_attn"
+            )(nn.LayerNorm(dtype=self.dtype, name="cross_ln")(tokens), context, context_mask)
+            h = tokens.reshape(b, hh, ww, cc)
+
+        h = block(h, use_film=True, name="block2")
+
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="res_conv"
+            )(x)
+        return h + x
+
+
+class TransformerBlock(nn.Module):
+    """Self-attention + FF over image tokens (imagen_pytorch.py:2103-2160)."""
+
+    n_heads: int = 8
+    ff_mult: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        normed = nn.LayerNorm(dtype=self.dtype, name="attn_ln")(tokens)
+        head_dim = max(c // self.n_heads, 16)
+        inner = head_dim * self.n_heads
+        qkv = nn.Dense(3 * inner, use_bias=False, dtype=self.dtype, name="qkv")(
+            normed
+        )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        reshape = lambda t: t.reshape(b, h * w, self.n_heads, head_dim)
+        out = attention_core(reshape(q), reshape(k), reshape(v))
+        out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn_out")(
+            out.reshape(b, h * w, inner)
+        )
+        tokens = tokens + out
+        ff = nn.LayerNorm(dtype=self.dtype, name="ff_ln")(tokens)
+        ff = nn.Dense(c * self.ff_mult, dtype=self.dtype, name="ff1")(ff)
+        ff = nn.gelu(ff)
+        ff = nn.Dense(c, dtype=self.dtype, name="ff2")(ff)
+        tokens = tokens + ff
+        return tokens.reshape(b, h, w, c)
+
+
+def _attention_pool(
+    tokens: jnp.ndarray, mask: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """Masked mean pooling over text tokens (PerceiverResampler stand-in,
+    imagen_pytorch.py:1068-1170 role)."""
+    if mask is None:
+        return tokens.mean(axis=1)
+    m = mask.astype(tokens.dtype)[..., None]
+    return (tokens * m).sum(axis=1) / jnp.clip(m.sum(axis=1), 1.0, None)
+
+
+class ImagenUNet(nn.Module):
+    """Text/lowres-conditional UNet for one cascade stage."""
+
+    dim: int = 128
+    dim_mults: Sequence[int] = (1, 2, 4)
+    channels: int = 3
+    cond_dim: Optional[int] = None  # defaults to dim
+    text_embed_dim: int = 768
+    num_resnet_blocks: int | Sequence[int] = 2
+    layer_attns: Sequence[bool] = (False, True, True)
+    layer_cross_attns: Sequence[bool] = (False, True, True)
+    attn_heads: int = 8
+    lowres_cond: bool = False  # super-res stages concat the lowres image
+    cond_images_channels: int = 0
+    self_cond: bool = False
+    learned_sinu_dim: int = 16
+    max_text_len: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, H, W, C) noisy image
+        noise_cond: jnp.ndarray,  # (B,) log-SNR condition
+        *,
+        text_embeds: Optional[jnp.ndarray] = None,  # (B, L, text_embed_dim)
+        text_mask: Optional[jnp.ndarray] = None,  # (B, L)
+        cond_drop_mask: Optional[jnp.ndarray] = None,  # (B,) True -> drop text
+        lowres_cond_img: Optional[jnp.ndarray] = None,  # (B, H, W, C)
+        lowres_noise_cond: Optional[jnp.ndarray] = None,  # (B,)
+        cond_images: Optional[jnp.ndarray] = None,
+        self_cond: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        del train
+        b, h_in, w_in, _ = x.shape
+        in_dtype = x.dtype
+        cond_dim = self.cond_dim or self.dim
+        time_cond_dim = self.dim * 4
+
+        # ---- channel concat of conditioning images ----------------------
+        parts = [x.astype(self.dtype)]
+        if self.lowres_cond:
+            lr = (
+                jnp.zeros_like(x)
+                if lowres_cond_img is None
+                else lowres_cond_img.astype(x.dtype)
+            )
+            if lr.shape[1:3] != (h_in, w_in):
+                lr = resize_image(lr, h_in, w_in)
+            parts.append(lr.astype(self.dtype))
+        if self.self_cond:
+            sc = jnp.zeros_like(x) if self_cond is None else self_cond
+            parts.append(sc.astype(self.dtype))
+        if self.cond_images_channels:
+            ci = (
+                jnp.zeros((b, h_in, w_in, self.cond_images_channels), self.dtype)
+                if cond_images is None
+                else cond_images.astype(self.dtype)
+            )
+            if ci.shape[1:3] != (h_in, w_in):
+                ci = resize_image(ci, h_in, w_in)
+            parts.append(ci)
+        h = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+        # ---- time conditioning (imagen_pytorch.py:2458-2483) ------------
+        sinu_w = self.param(
+            "sinu_freqs",
+            nn.initializers.normal(1.0),
+            (self.learned_sinu_dim // 2,),
+            jnp.float32,
+        )
+        t_feat = learned_sinusoidal_embedding(noise_cond, sinu_w).astype(self.dtype)
+        t_hid = nn.Dense(time_cond_dim, dtype=self.dtype, name="time_mlp1")(t_feat)
+        t_hid = nn.silu(t_hid)
+        time_cond = nn.Dense(time_cond_dim, dtype=self.dtype, name="time_mlp2")(
+            t_hid
+        )
+        n_time_tokens = 2
+        time_tokens = nn.Dense(
+            cond_dim * n_time_tokens, dtype=self.dtype, name="to_time_tokens"
+        )(t_hid).reshape(b, n_time_tokens, cond_dim)
+
+        # lowres aug-noise tower (imagen_pytorch.py:2490-2512)
+        if self.lowres_cond:
+            lr_noise = (
+                jnp.zeros((b,), jnp.float32)
+                if lowres_noise_cond is None
+                else lowres_noise_cond
+            )
+            lr_sinu_w = self.param(
+                "lowres_sinu_freqs",
+                nn.initializers.normal(1.0),
+                (self.learned_sinu_dim // 2,),
+                jnp.float32,
+            )
+            lr_feat = learned_sinusoidal_embedding(lr_noise, lr_sinu_w).astype(
+                self.dtype
+            )
+            lr_hid = nn.Dense(
+                time_cond_dim, dtype=self.dtype, name="lowres_time_mlp1"
+            )(lr_feat)
+            lr_hid = nn.silu(lr_hid)
+            time_cond = time_cond + nn.Dense(
+                time_cond_dim, dtype=self.dtype, name="lowres_time_mlp2"
+            )(lr_hid)
+
+        # ---- text conditioning with CFG null embedding ------------------
+        context = None
+        if text_embeds is not None:
+            text_tokens = nn.Dense(
+                cond_dim, dtype=self.dtype, name="text_to_cond"
+            )(text_embeds.astype(self.dtype))
+            null_text = self.param(
+                "null_text_embed",
+                nn.initializers.normal(0.02),
+                (self.max_text_len, cond_dim),
+                jnp.float32,
+            )
+            null_hidden = self.param(
+                "null_text_hidden",
+                nn.initializers.normal(0.02),
+                (time_cond_dim,),
+                jnp.float32,
+            )
+            ln = text_tokens.shape[1]
+            if cond_drop_mask is not None:
+                keep = (~cond_drop_mask).astype(self.dtype).reshape(b, 1, 1)
+                text_tokens = text_tokens * keep + null_text[None, :ln].astype(
+                    self.dtype
+                ) * (1 - keep)
+            pooled = _attention_pool(text_tokens, text_mask)
+            pooled_hidden = nn.silu(
+                nn.LayerNorm(dtype=self.dtype, name="text_hid_ln")(
+                    nn.Dense(
+                        time_cond_dim, dtype=self.dtype, name="text_to_hidden"
+                    )(pooled)
+                )
+            )
+            if cond_drop_mask is not None:
+                keep1 = (~cond_drop_mask).astype(self.dtype).reshape(b, 1)
+                pooled_hidden = pooled_hidden * keep1 + null_hidden[None].astype(
+                    self.dtype
+                ) * (1 - keep1)
+            time_cond = time_cond + pooled_hidden
+            context = jnp.concatenate([time_tokens, text_tokens], axis=1)
+            context = nn.LayerNorm(dtype=self.dtype, name="context_ln")(context)
+            if text_mask is not None:
+                context_mask = jnp.concatenate(
+                    [jnp.ones((b, n_time_tokens), bool), text_mask.astype(bool)],
+                    axis=1,
+                )
+                if cond_drop_mask is not None:
+                    # null tokens are always attendable
+                    context_mask = jnp.where(
+                        cond_drop_mask[:, None], True, context_mask
+                    )
+            else:
+                context_mask = None
+        else:
+            context = nn.LayerNorm(dtype=self.dtype, name="context_ln")(time_tokens)
+            context_mask = None
+
+        # ---- UNet trunk --------------------------------------------------
+        dims = [self.dim * m for m in self.dim_mults]
+        n_levels = len(dims)
+        n_blocks = (
+            [self.num_resnet_blocks] * n_levels
+            if isinstance(self.num_resnet_blocks, int)
+            else list(self.num_resnet_blocks)
+        )
+
+        h = nn.Conv(dims[0], (7, 7), padding=3, dtype=self.dtype, name="init_conv")(
+            h
+        )
+
+        skips = []
+        for lvl in range(n_levels):
+            use_cross = self.layer_cross_attns[lvl]
+            for bi in range(n_blocks[lvl]):
+                h = ResnetBlock(
+                    dims[lvl],
+                    cond_dim=cond_dim if use_cross else None,
+                    time_cond_dim=time_cond_dim,
+                    dtype=self.dtype,
+                    name=f"down_{lvl}_res{bi}",
+                )(
+                    h,
+                    time_cond,
+                    context if use_cross else None,
+                    context_mask if use_cross else None,
+                )
+            if self.layer_attns[lvl]:
+                h = TransformerBlock(
+                    n_heads=self.attn_heads, dtype=self.dtype, name=f"down_{lvl}_attn"
+                )(h)
+            skips.append(h)
+            if lvl < n_levels - 1:
+                h = nn.Conv(
+                    dims[lvl + 1],
+                    (4, 4),
+                    strides=2,
+                    padding=1,
+                    dtype=self.dtype,
+                    name=f"down_{lvl}_downsample",
+                )(h)
+
+        # mid (always cross-attends when text is present)
+        h = ResnetBlock(
+            dims[-1],
+            cond_dim=cond_dim,
+            time_cond_dim=time_cond_dim,
+            dtype=self.dtype,
+            name="mid_res1",
+        )(h, time_cond, context, context_mask)
+        h = TransformerBlock(
+            n_heads=self.attn_heads, dtype=self.dtype, name="mid_attn"
+        )(h)
+        h = ResnetBlock(
+            dims[-1],
+            cond_dim=cond_dim,
+            time_cond_dim=time_cond_dim,
+            dtype=self.dtype,
+            name="mid_res2",
+        )(h, time_cond, context, context_mask)
+
+        for lvl in reversed(range(n_levels)):
+            use_cross = self.layer_cross_attns[lvl]
+            if lvl < n_levels - 1:
+                b_, hh, ww, _ = h.shape
+                h = resize_image(h, hh * 2, ww * 2, method="nearest")
+                h = nn.Conv(
+                    dims[lvl],
+                    (3, 3),
+                    padding=1,
+                    dtype=self.dtype,
+                    name=f"up_{lvl}_upsample",
+                )(h)
+            h = jnp.concatenate([h, skips[lvl]], axis=-1)
+            for bi in range(n_blocks[lvl]):
+                h = ResnetBlock(
+                    dims[lvl],
+                    cond_dim=cond_dim if use_cross else None,
+                    time_cond_dim=time_cond_dim,
+                    dtype=self.dtype,
+                    name=f"up_{lvl}_res{bi}",
+                )(
+                    h,
+                    time_cond,
+                    context if use_cross else None,
+                    context_mask if use_cross else None,
+                )
+            if self.layer_attns[lvl]:
+                h = TransformerBlock(
+                    n_heads=self.attn_heads, dtype=self.dtype, name=f"up_{lvl}_attn"
+                )(h)
+
+        out = nn.Conv(
+            self.channels, (3, 3), padding=1, dtype=jnp.float32, name="final_conv"
+        )(h.astype(jnp.float32))
+        return out.astype(in_dtype)
+
+
+def base_unet_64(**overrides) -> ImagenUNet:
+    """BaseUnet64 preset (imagen_pytorch.py:3231-3257)."""
+    kw = dict(
+        dim=512,
+        dim_mults=(1, 2, 3, 4),
+        num_resnet_blocks=3,
+        layer_attns=(False, True, True, True),
+        layer_cross_attns=(False, True, True, True),
+        attn_heads=8,
+    )
+    kw.update(overrides)
+    return ImagenUNet(**kw)
+
+
+def sr_unet_256(**overrides) -> ImagenUNet:
+    """SRUnet256 preset (imagen_pytorch.py:3258-3283)."""
+    kw = dict(
+        dim=128,
+        dim_mults=(1, 2, 4, 8),
+        num_resnet_blocks=(2, 4, 8, 8),
+        layer_attns=(False, False, False, True),
+        layer_cross_attns=(False, False, False, True),
+        attn_heads=8,
+        lowres_cond=True,
+    )
+    kw.update(overrides)
+    return ImagenUNet(**kw)
+
+
+class NullUnet:
+    """Placeholder stage (imagen_pytorch.py:3193-3230): passes images
+    through unchanged; used to skip already-trained cascade stages."""
+
+    lowres_cond = False
+
+    def init(self, *a, **k):
+        return {"params": {}}
+
+    def apply(self, variables, x, *a, **k):
+        return x
+
+
+__all__ = [
+    "ImagenUNet",
+    "ResnetBlock",
+    "TransformerBlock",
+    "CrossAttention",
+    "NullUnet",
+    "base_unet_64",
+    "sr_unet_256",
+]

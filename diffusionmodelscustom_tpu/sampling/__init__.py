@@ -1,5 +1,12 @@
-"""Samplers: fused-scan ancestral, DDIM fast path, EDM churn (cascade)."""
+"""Samplers: fused-scan ancestral, DDIM fast path, continuous-time, EDM churn."""
 
 from .ancestral import ancestral_sample, ddim_sample
+from .continuous import p_sample_loop_continuous
+from .edm import edm_sample
 
-__all__ = ["ancestral_sample", "ddim_sample"]
+__all__ = [
+    "ancestral_sample",
+    "ddim_sample",
+    "edm_sample",
+    "p_sample_loop_continuous",
+]

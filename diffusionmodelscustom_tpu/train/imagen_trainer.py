@@ -1,0 +1,213 @@
+"""Cascade trainer: per-unet optimizer/EMA state over an Imagen cascade.
+
+Rebuild of ``ImagenTrainer`` (CascadedDDPM/trainer.py:293-1066):
+
+* per-unet Adam/Lion optimizer + EMA + warmup/cosine schedule
+  (trainer.py:402-446);
+* only-one-unet-trained-at-a-time (trainer.py:520-558) — states are
+  created lazily per stage and steps address a stage by ``unet_number``
+  (1-indexed like the reference);
+* gradient-accumulation via ``max_batch_size`` chunking
+  (trainer.py:1042-1066) is replaced by optax.MultiSteps;
+* ``sample()`` swaps in EMA parameters (trainer.py:1028-1039);
+* checkpointing of the full per-unet state via utils/checkpoint.py
+  (trainer.py:755-890).
+
+Distribution: instead of Accelerate/DDP (trainer.py:352-358), shard the
+image batch on the mesh ``data`` axis before calling ``train_step`` and
+XLA emits the gradient collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.imagen.cascade import Imagen
+from .optim import make_optimizer, warmup_cosine_schedule
+from .state import TrainState
+
+
+@dataclasses.dataclass
+class ImagenTrainerConfig:
+    """Mirrors the reference trainer's constructor surface
+    (trainer.py:296-360)."""
+
+    optimizer: str = "adam"
+    learning_rate: float = 1e-4
+    eps: float = 1e-8
+    beta1: float = 0.9
+    beta2: float = 0.99
+    max_grad_norm: Optional[float] = None
+    grad_accum_steps: int = 1
+    use_ema: bool = True
+    ema_decay: float = 0.995
+    warmup_steps: Optional[int] = None
+    cosine_decay_max_steps: Optional[int] = None
+
+
+class ImagenTrainer:
+    """Stateful orchestrator over a functional Imagen cascade."""
+
+    def __init__(
+        self,
+        imagen: Imagen,
+        config: ImagenTrainerConfig = ImagenTrainerConfig(),
+        *,
+        text_embed_dim: Optional[int] = None,
+    ):
+        self.imagen = imagen
+        self.config = config
+        self.text_embed_dim = text_embed_dim
+        self.states: Dict[int, TrainState] = {}
+        self._train_steps: Dict[int, Any] = {}
+        self.num_unets = len(imagen.unets)
+
+    # -- state management --------------------------------------------------
+
+    def _make_tx(self) -> optax.GradientTransformation:
+        cfg = self.config
+        schedule = None
+        if cfg.warmup_steps is not None or cfg.cosine_decay_max_steps is not None:
+            schedule = warmup_cosine_schedule(
+                cfg.learning_rate,
+                cfg.warmup_steps or 0,
+                cfg.cosine_decay_max_steps or 10**9,
+            )
+        tx = make_optimizer(
+            cfg.optimizer,
+            cfg.learning_rate,
+            weight_decay=0.0,
+            beta1=cfg.beta1,
+            beta2=cfg.beta2,
+            eps=cfg.eps,
+            grad_clip_norm=cfg.max_grad_norm,
+            schedule=schedule,
+        )
+        if cfg.grad_accum_steps > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+        return tx
+
+    def init_unet(self, unet_number: int, rng: jax.Array) -> TrainState:
+        """Lazily create the state for one stage (1-indexed)."""
+        idx = unet_number - 1
+        if idx in self.states:
+            return self.states[idx]
+        variables = self.imagen.init_unet_params(
+            idx, rng, text_embed_dim=self.text_embed_dim
+        )
+        state = TrainState.create(
+            apply_fn=self.imagen.unets[idx].apply,
+            params=variables["params"],
+            tx=self._make_tx(),
+            use_ema=self.config.use_ema,
+            ema_decay=self.config.ema_decay,
+        )
+        self.states[idx] = state
+        return state
+
+    def num_steps_taken(self, unet_number: int) -> int:
+        idx = unet_number - 1
+        if idx not in self.states:
+            return 0
+        return int(jax.device_get(self.states[idx].step))
+
+    # -- training ----------------------------------------------------------
+
+    def _build_train_step(self, idx: int):
+        imagen = self.imagen
+
+        def step_fn(state: TrainState, images, text_embeds, text_mask, rng):
+            def loss_fn(params):
+                return imagen.p_losses(
+                    idx,
+                    {"params": params},
+                    images,
+                    rng,
+                    text_embeds=text_embeds,
+                    text_mask=text_mask,
+                    train=True,
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def train_step(
+        self,
+        unet_number: int,
+        images: jnp.ndarray,
+        *,
+        text_embeds: Optional[jnp.ndarray] = None,
+        text_mask: Optional[jnp.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> float:
+        """One optimization step on one cascade stage; returns the loss
+        (the reference's trainer.train_step contract,
+        trainer.py:682-711)."""
+        idx = unet_number - 1
+        rng = jax.random.key(0) if rng is None else rng
+        state = self.init_unet(unet_number, rng)
+        if idx not in self._train_steps:
+            self._train_steps[idx] = self._build_train_step(idx)
+        new_state, loss = self._train_steps[idx](
+            state, images, text_embeds, text_mask, rng
+        )
+        self.states[idx] = new_state
+        return float(jax.device_get(loss))
+
+    def valid_step(
+        self,
+        unet_number: int,
+        images: jnp.ndarray,
+        *,
+        text_embeds=None,
+        text_mask=None,
+        rng: Optional[jax.Array] = None,
+    ) -> float:
+        idx = unet_number - 1
+        rng = jax.random.key(1) if rng is None else rng
+        state = self.init_unet(unet_number, rng)
+        loss = self.imagen.p_losses(
+            idx,
+            {"params": state.params},
+            images,
+            rng,
+            text_embeds=text_embeds,
+            text_mask=text_mask,
+            train=False,
+        )
+        return float(jax.device_get(loss))
+
+    # -- sampling ----------------------------------------------------------
+
+    def sample(self, rng: Optional[jax.Array] = None, **kwargs) -> jnp.ndarray:
+        """Cascade sampling with EMA parameters when available
+        (trainer.py:1028-1039)."""
+        rng = jax.random.key(2) if rng is None else rng
+        params_list: List[Any] = []
+        for idx in range(self.num_unets):
+            state = self.init_unet(idx + 1, jax.random.fold_in(rng, idx))
+            params = (
+                state.ema_params if state.ema_params is not None else state.params
+            )
+            params_list.append({"params": params})
+        return self.imagen.sample(params_list, rng, **kwargs)
+
+    # -- persistence ---------------------------------------------------------
+
+    def state_dict(self) -> Dict[str, Any]:
+        """All per-unet states as a pytree for checkpointing."""
+        return {str(i): s for i, s in self.states.items()}
+
+    def load_state_dict(self, states: Dict[str, Any]) -> None:
+        for key, s in states.items():
+            self.states[int(key)] = s
+
+
+__all__ = ["ImagenTrainer", "ImagenTrainerConfig"]

@@ -1,0 +1,80 @@
+"""Checkpoint round-trip tests: full TrainState including optimizer, EMA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionmodelscustom_tpu.core import GaussianDiffusion
+from diffusionmodelscustom_tpu.models import ConditionalUNet
+from diffusionmodelscustom_tpu.train import Trainer, TrainerConfig
+from diffusionmodelscustom_tpu.utils import (
+    CheckpointManager,
+    restore_pytree,
+    save_pytree,
+)
+
+
+def make_state():
+    model = ConditionalUNet(
+        out_channels=1, base_channels=8, time_dim=16, n_heads=2,
+        attention_levels=(), attention_levels_up=(),
+    )
+    diff = GaussianDiffusion.create(n_timesteps=10)
+    trainer = Trainer(model, diff, TrainerConfig(ema=True))
+    batch = {"img": jax.random.normal(jax.random.key(0), (2, 16, 16, 1))}
+    state = trainer.init_state(jax.random.key(1), batch)
+    # take one step so optimizer state is non-trivial
+    state, _ = trainer.train_step(state, batch, jax.random.key(2))
+    return trainer, state, batch
+
+
+def assert_tree_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pytree_round_trip(tmp_path):
+    trainer, state, _ = make_state()
+    save_pytree(tmp_path / "ckpt", state)
+    # template with zeroed leaves proves values come from disk
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = restore_pytree(tmp_path / "ckpt", template)
+    assert_tree_equal(state.params, restored.params)
+    assert_tree_equal(state.opt_state, restored.opt_state)
+    assert_tree_equal(state.ema_params, restored.ema_params)
+    assert int(restored.step) == 1
+
+
+def test_manager_best_and_rotation(tmp_path):
+    trainer, state, batch = make_state()
+    mgr = CheckpointManager(tmp_path / "run", max_to_keep=2, best_mode="min")
+    losses = [0.5, 0.3, 0.9]
+    for i, monitor in enumerate(losses):
+        mgr.save(i, state, monitor=monitor)
+    # with best-mode retention, the worst checkpoint (step 2, 0.9) is
+    # dropped and the best two remain
+    assert mgr.best_step() == 1  # lowest monitor
+    assert mgr.latest_step() in (1, 2)
+    restored = mgr.restore(jax.tree_util.tree_map(jnp.zeros_like, state), step=mgr.best_step())
+    assert_tree_equal(state.params, restored.params)
+    mgr.close()
+
+
+def test_resume_training_from_checkpoint(tmp_path):
+    # the reference lost optimizer state on resume (src/main_ddpm.py:1-5);
+    # prove ours continues exactly: save, restore, and take the same step.
+    trainer, state, batch = make_state()
+    save_pytree(tmp_path / "resume", state)
+    rng = jax.random.key(42)
+    next_direct, _ = trainer.train_step(
+        jax.tree_util.tree_map(jnp.copy, state), batch, rng
+    )
+    restored = restore_pytree(
+        tmp_path / "resume", jax.tree_util.tree_map(jnp.zeros_like, state)
+    )
+    next_restored, _ = trainer.train_step(restored, batch, rng)
+    assert_tree_equal(next_direct.params, next_restored.params)
+    assert_tree_equal(next_direct.opt_state, next_restored.opt_state)

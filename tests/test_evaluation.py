@@ -1,0 +1,101 @@
+"""Tests for the evaluation metric suite."""
+
+import numpy as np
+import pytest
+
+from diffusionmodelscustom_tpu.evaluation import (
+    crps_ensemble,
+    daily_errors,
+    evaluate_fields,
+    heidke_skill_score,
+    masked_mae,
+    masked_rmse,
+    mean_bias,
+    morans_i,
+    peirce_skill_score,
+    pixel_distribution,
+    pixel_errors,
+)
+
+
+def test_masked_errors_respect_mask():
+    gen = np.ones((4, 4))
+    ref = np.zeros((4, 4))
+    # perfect on land, wrong on sea: error counted only on land
+    gen[:2] = 0.0
+    mask = np.zeros((4, 4), bool)
+    mask[:2] = True  # land = first two rows (where gen == ref)
+    assert masked_mae(gen, ref, mask) == 0.0
+    assert masked_rmse(gen, ref, mask) == 0.0
+    # unmasked: half the pixels are wrong by 1
+    assert masked_mae(gen, ref, None) == pytest.approx(0.5)
+
+
+def test_daily_and_pixel_errors_shapes():
+    rng = np.random.default_rng(0)
+    gen = rng.normal(size=(5, 8, 8))
+    ref = rng.normal(size=(5, 8, 8))
+    mae, rmse = daily_errors(gen, ref)
+    assert mae.shape == (5,)
+    assert np.all(rmse >= mae * 0)  # finite
+    pmae, prmse = pixel_errors(gen, ref)
+    assert pmae.shape == (8, 8)
+
+
+def test_bias_sign():
+    assert mean_bias(np.full((2, 2), 2.0), np.zeros((2, 2))) == pytest.approx(2.0)
+
+
+def test_crps_perfect_forecast_zero():
+    obs = np.random.default_rng(1).normal(size=(8, 8))
+    ens = np.stack([obs] * 5)
+    assert crps_ensemble(ens, obs) == pytest.approx(0.0, abs=1e-12)
+    # degraded ensemble has positive CRPS
+    ens2 = ens + np.random.default_rng(2).normal(size=ens.shape)
+    assert crps_ensemble(ens2, obs) > 0.0
+
+
+def test_crps_beats_single_member_for_spread():
+    rng = np.random.default_rng(3)
+    obs = rng.normal(size=(16, 16))
+    # ensemble centred on obs with noise vs single biased member
+    good = obs[None] + 0.5 * rng.normal(size=(10, 16, 16))
+    bad = obs[None] + 2.0 + 0.0 * rng.normal(size=(10, 16, 16))
+    assert crps_ensemble(good, obs) < crps_ensemble(bad, obs)
+
+
+def test_morans_i_spatial_structure():
+    # smooth gradient -> strong positive autocorrelation
+    smooth = np.add.outer(np.arange(16.0), np.arange(16.0))
+    assert morans_i(smooth) > 0.9
+    # checkerboard -> strong negative
+    checker = np.indices((16, 16)).sum(axis=0) % 2
+    assert morans_i(checker.astype(float)) < -0.9
+
+
+def test_skill_scores_perfect_and_random():
+    rng = np.random.default_rng(4)
+    ref = rng.normal(size=(32, 32))
+    assert heidke_skill_score(ref, ref, 0.0) == pytest.approx(1.0)
+    assert peirce_skill_score(ref, ref, 0.0) == pytest.approx(1.0)
+    # anti-correlated forecast -> negative skill
+    assert heidke_skill_score(-ref, ref, 0.0) < 0
+
+
+def test_pixel_distribution_density():
+    hist, edges = pixel_distribution(np.random.default_rng(5).normal(size=(50, 8, 8)))
+    widths = np.diff(edges)
+    assert np.sum(hist * widths) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_evaluate_fields_scorecard():
+    rng = np.random.default_rng(6)
+    ref = rng.normal(size=(6, 16, 16))
+    gen = ref + 0.1 * rng.normal(size=ref.shape)
+    lsm = np.ones((16, 16))
+    out = evaluate_fields(gen, ref, lsm, event_threshold=0.0)
+    for key in ("mae", "rmse", "bias", "daily_mae_mean", "morans_i_gen",
+                "heidke", "peirce"):
+        assert key in out and np.isfinite(out[key])
+    assert out["mae"] < 0.2
+    assert out["heidke"] > 0.5
