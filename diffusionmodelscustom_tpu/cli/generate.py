@@ -1,0 +1,167 @@
+"""Generation CLI — rebuild of ``generation_DANRA_conditional.py`` (C14).
+
+Loads a trained checkpoint, samples N fields with the fused-scan sampler,
+and emits the reference's npz bundle naming so downstream evaluation is
+drop-in compatible:
+
+    gen_samples.npz / eval_samples.npz / lsm_samples.npz /
+    cond_samples.npz / season_samples.npz / point_samples.npz
+
+(generation_DANRA_conditional.py:431-441). The three conditioning
+variants map to flags: --variant conditional|unconditional|lsm_topo|uniform
+(generation_unconditional.py:133-137, generation_lsm_topo_only.py:135-139,
+generation_DANRA_uniform.py:135-139).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .train import build_data, build_model, config_from_args, build_parser as _train_parser
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = _train_parser()
+    p.description = "Generate fields from a trained DDPM checkpoint"
+    p.add_argument("--n_samples", type=int, default=100,
+                   help="number of fields to generate (ref default 100)")
+    p.add_argument("--sample_batch", type=int, default=8)
+    p.add_argument(
+        "--variant",
+        type=str,
+        default="conditional",
+        choices=["conditional", "unconditional", "lsm_topo", "uniform"],
+    )
+    p.add_argument("--sampler", type=str, default=None,
+                   choices=["ancestral", "ddim"])
+    p.add_argument("--ddim_steps", type=int, default=None)
+    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--out_dir", type=str, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from .train import apply_platform
+
+    apply_platform(args)
+    cfg = config_from_args(args)
+    if args.sampler:
+        cfg = cfg.update({"diffusion.sampler": args.sampler})
+    if args.ddim_steps:
+        cfg = cfg.update({"diffusion.ddim_steps": args.ddim_steps})
+
+    from ..core import GaussianDiffusion
+    from ..sampling import ancestral_sample, ddim_sample
+    from ..train import Trainer, TrainerConfig
+    from ..utils.checkpoint import CheckpointManager
+
+    model = build_model(cfg)
+    diffusion = GaussianDiffusion.create(
+        n_timesteps=cfg.diffusion.n_timesteps,
+        beta_min=cfg.diffusion.beta_min,
+        beta_max=cfg.diffusion.beta_max,
+        scheduler=cfg.diffusion.beta_scheduler,
+    )
+    dataset, loader = build_data(cfg, args.synthetic)
+
+    # restore best checkpoint (generation_DANRA_conditional.py:353-360)
+    trainer = Trainer(model, diffusion, TrainerConfig(num_classes=cfg.unet.num_classes))
+    rng = jax.random.key(cfg.training.seed)
+    example = next(iter(loader))
+    example.pop("points", None)
+    state = trainer.init_state(rng, example)
+    ckpt_dir = Path(cfg.data.path_save) / cfg.data.path_checkpoint
+    mgr = CheckpointManager(ckpt_dir, best_mode="min")
+    step = mgr.best_step() or mgr.latest_step()
+    if step is not None:
+        state = mgr.restore(state, step=step)
+        print(f"[generate] restored checkpoint step {step}", file=sys.stderr)
+    else:
+        print("[generate] WARNING: no checkpoint found, using init", file=sys.stderr)
+    mgr.close()
+    params = state.ema_params if (args.use_ema and state.ema_params is not None) else state.params
+
+    size = tuple(cfg.data.hr_shape)
+    variant = args.variant
+    bundles = {k: [] for k in ("gen", "eval", "lsm", "cond", "season", "point")}
+
+    n_batches = -(-args.n_samples // args.sample_batch)
+    it = iter(loader)
+    for bi in range(n_batches):
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(loader)
+            batch = next(it)
+        b = min(args.sample_batch, batch["img"].shape[0])
+        batch = {k: jnp.asarray(v[:b]) for k, v in batch.items()}
+
+        y = batch.get("classifier") if variant in ("conditional", "uniform") else None
+        cond = batch.get("img_cond") if variant in ("conditional", "uniform") else None
+        lsm = batch.get("lsm") if variant in ("conditional", "lsm_topo") else None
+        topo = batch.get("topo") if variant in ("conditional", "lsm_topo") else None
+
+        def denoise(x, t):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            return model.apply(variables, x, t, y, cond, lsm, topo)
+
+        def uncond(x, t):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            return model.apply(variables, x, t, None, None, None, None)
+
+        sample_rng = jax.random.fold_in(rng, 1000 + bi)
+        shape = (b, size[0], size[1], cfg.unet.out_channels)
+        if cfg.diffusion.sampler == "ddim":
+            out = ddim_sample(
+                denoise, diffusion, sample_rng, shape,
+                num_steps=cfg.diffusion.ddim_steps,
+                uncond_fn=uncond if cfg.diffusion.cfg_scale > 0 else None,
+                cfg_scale=cfg.diffusion.cfg_scale,
+            )
+        else:
+            out = ancestral_sample(
+                denoise, diffusion, sample_rng, shape,
+                uncond_fn=uncond if cfg.diffusion.cfg_scale > 0 else None,
+                cfg_scale=cfg.diffusion.cfg_scale,
+            )
+        bundles["gen"].append(np.asarray(out))
+        bundles["eval"].append(np.asarray(batch["img"]))
+        if "lsm" in batch:
+            bundles["lsm"].append(np.asarray(batch["lsm"]))
+        if "img_cond" in batch:
+            bundles["cond"].append(np.asarray(batch["img_cond"]))
+        if "classifier" in batch:
+            bundles["season"].append(np.asarray(batch["classifier"]))
+        if "points" in batch:
+            bundles["point"].append(np.asarray(batch["points"]))
+        print(f"[generate] batch {bi + 1}/{n_batches} done", file=sys.stderr)
+
+    out_dir = Path(args.out_dir or Path(cfg.data.path_save) / "generated_samples")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    for key, chunks in bundles.items():
+        if not chunks:
+            continue
+        arr = np.concatenate(chunks)[: args.n_samples]
+        path = out_dir / f"{key}_samples.npz"
+        np.savez_compressed(path, data=arr)
+        written.append(path.name)
+    print(json.dumps({"n_samples": args.n_samples, "files": written,
+                      "out_dir": str(out_dir)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,253 @@
+"""Imagen cascade CLI — rebuild of the reference click CLI + pydantic
+configs (CascadedDDPM/cli.py:24-179, configs.py:38-180).
+
+Commands:
+
+* ``imagen config [--path imagen_config.json]`` — emit the default JSON
+  config (cli.py:63-72);
+* ``imagen train --config CFG --unet N`` — train one cascade stage from
+  a config-described dataset (cli.py:75-179; here the dataset is a local
+  image store or synthetic data, since the LAION streaming pipeline needs
+  network access);
+* ``imagen sample --model CKPT "text prompt"`` — load a checkpoint and
+  sample the cascade (cli.py:28-61).
+
+Config schema mirrors default_config.json's keys (type/imagen/unets/
+trainer/dataset/checkpoint_path) validated with pydantic.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, List, Optional, Union
+
+import click
+import numpy as np
+from pydantic import BaseModel, field_validator
+
+
+class UnetConfig(BaseModel):
+    """One cascade stage (configs.py:38-66 surface)."""
+
+    dim: int = 128
+    dim_mults: List[int] = [1, 2, 4]
+    channels: int = 3
+    num_resnet_blocks: Union[int, List[int]] = 2
+    layer_attns: Union[bool, List[bool]] = True
+    layer_cross_attns: Union[bool, List[bool]] = True
+    attn_heads: int = 8
+
+
+class ImagenConfigSchema(BaseModel):
+    """configs.py:67-130 surface."""
+
+    video: bool = False
+    elucidated: bool = False
+    timesteps: Union[int, List[int]] = 1000
+    image_sizes: List[int] = [64, 256]
+    condition_on_text: bool = True
+    cond_drop_prob: float = 0.1
+    text_encoder_name: str = "google/t5-v1_1-base"
+    noise_schedules: Union[str, List[str]] = "cosine"
+    pred_objectives: Union[str, List[str]] = "noise"
+    # default: a base-64 + SR-256 two-stage cascade (the reference default
+    # is a 3-stage 64->256->1024, default_config.json:5-44)
+    unets: List[UnetConfig] = [
+        UnetConfig(dim=128, dim_mults=[1, 2, 3], num_resnet_blocks=2),
+        UnetConfig(dim=64, dim_mults=[1, 2, 4],
+                   num_resnet_blocks=[2, 4, 4],
+                   layer_attns=[False, False, True],
+                   layer_cross_attns=[False, False, True]),
+    ]
+
+    @field_validator("image_sizes")
+    @classmethod
+    def _sizes_match(cls, v):
+        assert len(v) >= 1
+        return v
+
+
+class TrainerConfigSchema(BaseModel):
+    lr: float = 1e-4
+    use_ema: bool = True
+    max_grad_norm: Optional[float] = None
+    warmup_steps: Optional[int] = None
+
+
+class RootConfig(BaseModel):
+    """default_config.json layout."""
+
+    type: str = "original"  # original | elucidated (configs dispatch)
+    imagen: ImagenConfigSchema = ImagenConfigSchema()
+    trainer: TrainerConfigSchema = TrainerConfigSchema()
+    dataset_name: Optional[str] = None
+    dataset: dict = {"batch_size": 8, "shuffle": True}
+    checkpoint_path: str = "./imagen_ckpt"
+
+
+def _build_cascade(cfg: RootConfig):
+    from ..models.imagen import ElucidatedImagen, Imagen, ImagenUNet
+    from ..models.imagen.t5 import get_encoded_dim
+
+    text_dim = get_encoded_dim(cfg.imagen.text_encoder_name)
+    n = len(cfg.imagen.unets)
+
+    def cast(v):
+        return v if isinstance(v, list) else [v] * 4
+
+    unets = []
+    for i, u in enumerate(cfg.imagen.unets):
+        n_levels = len(u.dim_mults)
+        la = u.layer_attns if isinstance(u.layer_attns, list) else [u.layer_attns] * n_levels
+        lca = (
+            u.layer_cross_attns
+            if isinstance(u.layer_cross_attns, list)
+            else [u.layer_cross_attns] * n_levels
+        )
+        unets.append(
+            ImagenUNet(
+                dim=u.dim,
+                dim_mults=tuple(u.dim_mults),
+                channels=u.channels,
+                text_embed_dim=text_dim,
+                num_resnet_blocks=u.num_resnet_blocks
+                if isinstance(u.num_resnet_blocks, int)
+                else tuple(u.num_resnet_blocks),
+                layer_attns=tuple(la),
+                layer_cross_attns=tuple(lca),
+                attn_heads=u.attn_heads,
+                lowres_cond=i > 0,
+            )
+        )
+    cls = ElucidatedImagen if (cfg.type == "elucidated" or cfg.imagen.elucidated) else Imagen
+    return cls(
+        unets=unets,
+        image_sizes=tuple(cfg.imagen.image_sizes),
+        channels=cfg.imagen.unets[0].channels,
+        timesteps=cfg.imagen.timesteps,
+        noise_schedules=cfg.imagen.noise_schedules,
+        pred_objectives=cfg.imagen.pred_objectives,
+        cond_drop_prob=cfg.imagen.cond_drop_prob,
+    ), text_dim
+
+
+@click.group()
+def imagen():
+    """TPU-native Imagen cascade."""
+
+
+@imagen.command(help="emit the default config json")
+@click.option("--path", default="./imagen_config.json")
+def config(path):
+    Path(path).write_text(RootConfig().model_dump_json(indent=2))
+    click.echo(f"config written to {path}")
+
+
+@imagen.command(help="train one cascade stage")
+@click.option("--config", "config_path", required=True)
+@click.option("--unet", "unet_number", default=1, type=int)
+@click.option("--steps", default=100, type=int)
+@click.option("--synthetic", is_flag=True, help="use synthetic image data")
+@click.option("--data_dir", default=None, help="directory of training .npy images")
+def train(config_path, unet_number, steps, synthetic, data_dir):
+    import jax
+
+    from ..models.imagen.t5 import t5_encode_text
+    from ..train.imagen_trainer import ImagenTrainer, ImagenTrainerConfig
+    from ..utils.checkpoint import save_pytree
+
+    cfg = RootConfig(**json.loads(Path(config_path).read_text()))
+    cascade, text_dim = _build_cascade(cfg)
+    trainer = ImagenTrainer(
+        cascade,
+        ImagenTrainerConfig(
+            learning_rate=cfg.trainer.lr,
+            use_ema=cfg.trainer.use_ema,
+            max_grad_norm=cfg.trainer.max_grad_norm,
+            warmup_steps=cfg.trainer.warmup_steps,
+        ),
+        text_embed_dim=text_dim,
+    )
+    batch_size = int(cfg.dataset.get("batch_size", 8))
+    size = cfg.imagen.image_sizes[unet_number - 1]
+    channels = cfg.imagen.unets[0].channels
+    rng = jax.random.key(0)
+
+    if synthetic or data_dir is None:
+        images = np.random.default_rng(0).uniform(
+            size=(batch_size, size, size, channels)
+        ).astype(np.float32)
+        captions = [f"synthetic sample {i}" for i in range(batch_size)]
+    else:
+        files = sorted(Path(data_dir).glob("*.npy"))[:batch_size]
+        images = np.stack([np.load(f) for f in files])
+        captions = [f.stem.replace("_", " ") for f in files]
+    embeds, mask = t5_encode_text(captions, name=cfg.imagen.text_encoder_name)
+
+    import jax.numpy as jnp
+
+    images_j = jnp.asarray(images)
+    embeds_j = jnp.asarray(embeds)
+    mask_j = jnp.asarray(mask)
+    for i in range(steps):
+        loss = trainer.train_step(
+            unet_number,
+            images_j,
+            text_embeds=embeds_j,
+            text_mask=mask_j,
+            rng=jax.random.fold_in(rng, i),
+        )
+        if i % 10 == 0:
+            click.echo(f"step {i}: loss {loss:.5f}")
+    save_pytree(Path(cfg.checkpoint_path) / f"unet{unet_number}", trainer.states[unet_number - 1])
+    click.echo(f"saved {cfg.checkpoint_path}/unet{unet_number}")
+
+
+@imagen.command(help="sample images from a config + checkpoints")
+@click.option("--config", "config_path", required=True)
+@click.option("--output", default="./imagen_sample.npz")
+@click.option("--batch_size", default=1, type=int)
+@click.option("--cond_scale", default=5.0, type=float)
+@click.argument("text")
+def sample(config_path, output, batch_size, cond_scale, text):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.imagen.t5 import t5_encode_text
+    from ..train.imagen_trainer import ImagenTrainer, ImagenTrainerConfig
+    from ..utils.checkpoint import restore_pytree
+
+    cfg = RootConfig(**json.loads(Path(config_path).read_text()))
+    cascade, text_dim = _build_cascade(cfg)
+    trainer = ImagenTrainer(
+        cascade, ImagenTrainerConfig(learning_rate=cfg.trainer.lr),
+        text_embed_dim=text_dim,
+    )
+    rng = jax.random.key(0)
+    for i in range(trainer.num_unets):
+        state = trainer.init_unet(i + 1, jax.random.fold_in(rng, i))
+        path = Path(cfg.checkpoint_path) / f"unet{i + 1}"
+        if path.exists():
+            trainer.states[i] = restore_pytree(
+                path, jax.tree_util.tree_map(jnp.zeros_like, state)
+            )
+            click.echo(f"restored {path}")
+    embeds, mask = t5_encode_text([text] * batch_size, name=cfg.imagen.text_encoder_name)
+    out = trainer.sample(
+        rng,
+        batch_size=batch_size,
+        text_embeds=jnp.asarray(embeds),
+        text_mask=jnp.asarray(mask),
+        cond_scale=cond_scale,
+    )
+    np.savez_compressed(output, data=np.asarray(out))
+    click.echo(f"wrote {output} shape={tuple(out.shape)}")
+
+
+def main(argv=None):
+    return imagen(args=argv, standalone_mode=True)
+
+
+if __name__ == "__main__":
+    main()

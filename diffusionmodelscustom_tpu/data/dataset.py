@@ -36,17 +36,28 @@ from collections import OrderedDict
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
-from scipy.ndimage import distance_transform_edt
-
-from .geo import DateFromFile, Scale, find_rand_points, normalize_sdf
+from .geo import DateFromFile, Scale, find_rand_points, generate_sdf, normalize_sdf
 from .store import open_group
 
 
 def _resize2d(arr: np.ndarray, target: Tuple[int, int]) -> np.ndarray:
-    from PIL import Image
-
     if arr.shape == tuple(target):
         return np.asarray(arr, np.float32)
+    from .native import crop_resize_scale, have_native
+
+    if have_native():
+        # identity rescale; the fused kernel antialiases like PIL
+        return crop_resize_scale(
+            np.asarray(arr, np.float32),
+            (0, arr.shape[0], 0, arr.shape[1]),
+            tuple(target),
+            0.0,
+            1.0,
+            0.0,
+            1.0,
+        )
+    from PIL import Image
+
     h, w = target
     img = Image.fromarray(np.ascontiguousarray(arr, dtype=np.float32), mode="F")
     return np.asarray(img.resize((w, h), Image.BILINEAR), dtype=np.float32)
@@ -131,12 +142,11 @@ class DanraDataset:
             if topo_full_domain is not None
             else None
         )
-        # Precompute the full-domain sea EDT once (hot-loop #5 fix).
+        # Precompute the full-domain sea EDT once (hot-loop #5 fix);
+        # generate_sdf routes through the native C++ EDT when built.
         self.sdf_full = None
         if config.sdf_weighted_loss and self.lsm_full is not None:
-            binary = self.lsm_full > 0
-            dist_sea = distance_transform_edt(~binary).astype(np.float32)
-            self.sdf_full = 10.0 * binary.astype(np.float32) - dist_sea
+            self.sdf_full = generate_sdf(self.lsm_full)
 
         self.scaler = (
             Scale(config.in_low, config.in_high, config.data_min_in, config.data_max_in)

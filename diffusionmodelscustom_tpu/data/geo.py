@@ -29,9 +29,15 @@ from scipy.ndimage import distance_transform_edt
 
 def generate_sdf(mask: np.ndarray) -> np.ndarray:
     """SDF = 10*land_mask - distance_to_land_over_sea (reference formula,
-    data_DANRA_conditional.py:82-92)."""
+    data_DANRA_conditional.py:82-92). Uses the native C++ EDT when built
+    (native/dmc_host.cpp), scipy otherwise."""
     binary = np.asarray(mask) > 0
-    dist_sea = distance_transform_edt(~binary)
+    from .native import edt, have_native
+
+    if have_native():
+        dist_sea = edt(binary)
+    else:
+        dist_sea = distance_transform_edt(~binary)
     return 10.0 * binary.astype(np.float32) - dist_sea.astype(np.float32)
 
 

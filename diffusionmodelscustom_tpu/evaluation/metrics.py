@@ -36,13 +36,17 @@ def _maskify(x: np.ndarray, mask: Optional[np.ndarray]) -> np.ma.MaskedArray:
 
 
 def masked_mae(gen: np.ndarray, ref: np.ndarray, mask=None) -> float:
-    """Mean |gen - ref| over unmasked (land) pixels."""
+    """Mean |gen - ref| over unmasked (land) pixels (nan if all masked)."""
     d = _maskify(gen, mask) - _maskify(ref, mask)
+    if d.count() == 0:
+        return float("nan")
     return float(np.ma.mean(np.ma.abs(d)))
 
 
 def masked_rmse(gen: np.ndarray, ref: np.ndarray, mask=None) -> float:
     d = _maskify(gen, mask) - _maskify(ref, mask)
+    if d.count() == 0:
+        return float("nan")
     return float(np.sqrt(np.ma.mean(d**2)))
 
 
@@ -127,6 +131,8 @@ def morans_i(field: np.ndarray, mask=None) -> float:
         if mask is not None
         else np.ones_like(f, bool)
     )
+    if valid.sum() < 2:
+        return 0.0
     z = np.where(valid, f - f[valid].mean(), 0.0)
     num = 0.0
     w_sum = 0.0
@@ -198,8 +204,10 @@ def evaluate_fields(
         "mae": masked_mae(gen, ref, mask),
         "rmse": masked_rmse(gen, ref, mask),
         "bias": mean_bias(gen, ref, mask),
-        "daily_mae_mean": float(daily_mae.mean()),
-        "daily_rmse_mean": float(daily_rmse.mean()),
+        # nanmean: cutout windows that are entirely ocean contribute no
+        # daily statistic instead of poisoning the mean
+        "daily_mae_mean": float(np.nanmean(daily_mae)),
+        "daily_rmse_mean": float(np.nanmean(daily_rmse)),
         "morans_i_gen": float(
             np.mean(
                 [morans_i(gen[i], mask[i] if np.ndim(mask) == gen.ndim else mask)

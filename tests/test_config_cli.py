@@ -1,0 +1,110 @@
+"""Config tree + CLI parsing + profiling-utility tests."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusionmodelscustom_tpu.utils import (
+    ExperimentConfig,
+    StepTimer,
+    count_params,
+    model_summary,
+)
+
+
+class TestConfig:
+    def test_yaml_round_trip(self, tmp_path):
+        cfg = ExperimentConfig()
+        cfg.save_yaml(tmp_path / "c.yaml")
+        cfg2 = ExperimentConfig.load_yaml(tmp_path / "c.yaml")
+        assert cfg2.to_dict() == cfg.to_dict()
+
+    def test_dotted_update(self):
+        cfg = ExperimentConfig().update(
+            {"training.lr": 1e-5, "diffusion.n_timesteps": 800, "unet.family": "danra"}
+        )
+        assert cfg.training.lr == 1e-5
+        assert cfg.diffusion.n_timesteps == 800
+        assert cfg.unet.family == "danra"
+
+    def test_unknown_key_raises(self):
+        with pytest.raises(KeyError):
+            ExperimentConfig().update({"training.nope": 1})
+        with pytest.raises(KeyError):
+            ExperimentConfig().update({"nosection.lr": 1})
+
+    def test_tuple_coercion_from_yaml(self, tmp_path):
+        cfg = ExperimentConfig()
+        cfg.save_yaml(tmp_path / "c.yaml")
+        cfg2 = ExperimentConfig.load_yaml(tmp_path / "c.yaml")
+        assert isinstance(cfg2.data.hr_shape, tuple)
+
+
+class TestTrainCLI:
+    def test_flags_map_to_config(self):
+        from diffusionmodelscustom_tpu.cli.train import build_parser, config_from_args
+
+        args = build_parser().parse_args(
+            ["--epochs", "3", "--lr", "0.01", "--beta_scheduler", "cosine",
+             "--hr_size", "32", "--set", "training.ema=false"]
+        )
+        cfg = config_from_args(args)
+        assert cfg.training.epochs == 3
+        assert cfg.training.lr == 0.01
+        assert cfg.diffusion.beta_scheduler == "cosine"
+        assert cfg.data.hr_shape == (32, 32)
+        assert cfg.training.ema is False
+
+    def test_model_registry(self):
+        from diffusionmodelscustom_tpu.cli.train import build_model, build_parser, config_from_args
+
+        for family in ("flagship", "danra", "danra_ffn"):
+            args = build_parser().parse_args(["--model_family", family])
+            model = build_model(config_from_args(args))
+            assert model is not None
+
+    def test_unknown_family(self):
+        from diffusionmodelscustom_tpu.cli.train import build_model
+
+        cfg = ExperimentConfig().update({"unet.family": "resnet"})
+        with pytest.raises(ValueError):
+            build_model(cfg)
+
+
+class TestImagenCLI:
+    def test_default_config_round_trip(self):
+        from diffusionmodelscustom_tpu.cli.imagen_cli import RootConfig, _build_cascade
+
+        cfg = RootConfig(**json.loads(RootConfig().model_dump_json()))
+        cascade, text_dim = _build_cascade(cfg)
+        assert text_dim == 768
+        assert len(cascade.unets) == 2
+        assert getattr(cascade.unets[1], "lowres_cond", False)
+
+    def test_elucidated_dispatch(self):
+        from diffusionmodelscustom_tpu.cli.imagen_cli import RootConfig, _build_cascade
+        from diffusionmodelscustom_tpu.models.imagen import ElucidatedImagen
+
+        cfg = RootConfig(type="elucidated")
+        cascade, _ = _build_cascade(cfg)
+        assert isinstance(cascade, ElucidatedImagen)
+
+
+class TestProfiling:
+    def test_model_summary_counts(self):
+        params = {"enc": {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))},
+                  "dec": {"w": jnp.zeros((8,))}}
+        text = model_summary(params)
+        assert "TOTAL" in text and "28" in text
+        assert count_params(params) == 28
+
+    def test_step_timer(self):
+        t = StepTimer(batch_size=4)
+        for _ in range(3):
+            with t.step():
+                pass
+        assert t.count == 3
+        assert np.isfinite(t.steps_per_sec)
