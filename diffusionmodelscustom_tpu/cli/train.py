@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a JAX platform (cpu useful for smoke runs)")
     p.add_argument("--n_virtual_devices", type=int, default=None,
                    help="with --platform cpu: number of virtual devices")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint (full state: params,"
+                        " optimizer, EMA, step) before training")
+    p.add_argument("--create_figs", action="store_true",
+                   help="save loss curves and a generated-sample grid")
     return p
 
 
@@ -291,6 +296,15 @@ def main(argv=None) -> int:
     ckpt = CheckpointManager(
         save_dir / cfg.data.path_checkpoint, max_to_keep=3, best_mode="min"
     )
+    if args.resume and ckpt.latest_step() is not None:
+        # elastic recovery: exact-state resume (the reference lost optimizer
+        # state on resume, src/main_ddpm.py:1-5 TODO)
+        state = ckpt.restore(state)
+        print(
+            f"[train] resumed from checkpoint step {ckpt.latest_step()} "
+            f"(train step {int(jax.device_get(state.step))})",
+            file=sys.stderr,
+        )
 
     def epoch_batches():
         for batch in prefetch_to_device(loader, sharding=sharding):
@@ -314,6 +328,37 @@ def main(argv=None) -> int:
             checkpoint_fn=lambda s, e, m: ckpt.save(e, s, monitor=m),
             log_fn=log_fn,
         )
+    if args.create_figs:
+        from ..sampling import ddim_sample
+        from ..utils.plotting import save_loss_curves, save_sample_grid
+
+        save_loss_curves(history, save_dir / "figures" / "loss_curves.png")
+        params = state.ema_params if state.ema_params is not None else state.params
+        n_gen = min(cfg.data.n_gen_samples, cfg.training.batch_size)
+        sample_batch = {
+            k: v[:n_gen] for k, v in example.items() if k != "points"
+        }
+
+        def denoise(x, t):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            return trainer.model.apply(
+                variables, x, t,
+                sample_batch.get("classifier"), sample_batch.get("img_cond"),
+                sample_batch.get("lsm"), sample_batch.get("topo"),
+            )
+
+        gen = ddim_sample(
+            denoise, diffusion, jax.random.fold_in(rng, 99),
+            (n_gen, *example["img"].shape[1:]),
+            num_steps=min(cfg.diffusion.ddim_steps, cfg.diffusion.n_timesteps // 2),
+        )
+        save_sample_grid(
+            np.asarray(gen), save_dir / "figures" / "samples.png"
+        )
+        print(f"[train] figures written to {save_dir / 'figures'}", file=sys.stderr)
+
     print(
         json.dumps(
             {

@@ -1,6 +1,7 @@
 """Data layer: chunked stores, DANRA datasets, geo preprocessing, prefetch."""
 
 from .dataset import BatchLoader, DanraDataset, DanraDatasetConfig, collate
+from .imagen_data import ImageFolderDataset, ImagenCollator, ImagenLoader
 from .geo import (
     DateFromFile,
     Scale,
@@ -27,6 +28,9 @@ from .synthetic import (
 
 __all__ = [
     "BatchLoader",
+    "ImageFolderDataset",
+    "ImagenCollator",
+    "ImagenLoader",
     "DanraDataset",
     "DanraDatasetConfig",
     "DateFromFile",

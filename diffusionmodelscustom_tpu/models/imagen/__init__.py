@@ -13,6 +13,13 @@ from .t5 import (
     is_fallback,
     t5_encode_text,
 )
+from .blocks import (
+    CrossEmbedLayer,
+    GlobalContext,
+    PerceiverResampler,
+    PixelShuffleUpsample,
+)
+from .unet3d import ImagenUNet3D, TemporalAttention, TemporalConv
 from .unet import (
     CrossAttention,
     ImagenUNet,
@@ -25,6 +32,13 @@ from .unet import (
 
 __all__ = [
     "CrossAttention",
+    "CrossEmbedLayer",
+    "GlobalContext",
+    "ImagenUNet3D",
+    "PerceiverResampler",
+    "PixelShuffleUpsample",
+    "TemporalAttention",
+    "TemporalConv",
     "DEFAULT_T5_NAME",
     "ElucidatedImagen",
     "Imagen",

@@ -23,8 +23,9 @@ Feature parity:
 * elucidated variant: EDM preconditioned forward, log-normal sigma
   training, churn sampling (elucidated_imagen.py).
 
-Inpainting-by-resampling and the video (Unet3D) pathway are not yet
-implemented (tracked gaps for a later round).
+Inpainting-by-resampling rides the continuous sampler
+(sampling/continuous.py); the video pathway uses ImagenUNet3D with
+``video=True`` and frame-aware resizing.
 """
 
 from __future__ import annotations
@@ -70,9 +71,11 @@ def _cast_per_unet(value, n):
 class Imagen:
     """DDPM-cascade orchestrator (continuous-time noise schedulers)."""
 
-    unets: Sequence[Any]  # ImagenUNet / NullUnet modules
+    unets: Sequence[Any]  # ImagenUNet / ImagenUNet3D / NullUnet modules
     image_sizes: Sequence[int]
     channels: int = 3
+    video: bool = False  # (B, F, H, W, C) batches through ImagenUNet3D
+    video_frames: int = 8
     timesteps: int | Sequence[int] = 1000
     noise_schedules: str | Sequence[str] = "cosine"
     pred_objectives: str | Sequence[str] = "noise"
@@ -101,13 +104,27 @@ class Imagen:
         self.lowres_noise_schedule = ContinuousDiffusion(noise_schedule="linear")
         self.loss_fn = _LOSSES[self.loss_type]
 
+
+    def _resize(self, x, size: int):
+        """Frame-aware resize: folds the frame axis for video batches
+        (the reference's resize_video_to, imagen_video.py utilities)."""
+        if x.ndim == 5:
+            b, f = x.shape[:2]
+            flat = x.reshape(b * f, *x.shape[2:])
+            out = resize_image(flat, size, size)
+            return out.reshape(b, f, *out.shape[1:])
+        return resize_image(x, size, size)
+
     # -- init ---------------------------------------------------------------
 
     def init_unet_params(self, unet_index: int, rng: jax.Array, text_embed_dim=None):
         unet = self.unets[unet_index]
         size = self.image_sizes[unet_index]
         b = 2
-        x = jnp.zeros((b, size, size, self.channels))
+        if self.video:
+            x = jnp.zeros((b, self.video_frames, size, size, self.channels))
+        else:
+            x = jnp.zeros((b, size, size, self.channels))
         noise_cond = jnp.zeros((b,))
         kwargs = {}
         if text_embed_dim is not None:
@@ -149,8 +166,8 @@ class Imagen:
         lowres_aug_times = None
         if getattr(unet, "lowres_cond", False):
             prev_size = self.image_sizes[unet_index - 1]
-            lowres = resize_image(x_start, prev_size, prev_size)
-            lowres_cond_img = resize_image(lowres, size, size)
+            lowres = self._resize(x_start, prev_size)
+            lowres_cond_img = self._resize(lowres, size)
             # augment with noise and tell the unet the level
             # (imagen_pytorch.py:4355-4370)
             if self.per_sample_random_aug_noise_level:
@@ -165,7 +182,7 @@ class Imagen:
                 lowres_cond_img, lowres_aug_times, lr_noise
             )
 
-        x_start = resize_image(x_start, size, size)
+        x_start = self._resize(x_start, size)
         times = scheduler.sample_random_times(r_t, b)
         noise = jax.random.normal(r_noise, x_start.shape)
         x_noisy, log_snr, alpha, sigma = scheduler.q_sample(x_start, times, noise)
@@ -186,6 +203,21 @@ class Imagen:
                     lowres_aug_times
                 ),
             )
+
+        # self-conditioning at p=0.5 (imagen_pytorch.py:4374-4389): one
+        # gradient-free forward estimates x0, which conditions the real one
+        if getattr(unet, "self_cond", False):
+            r_sc, rng = jax.random.split(jax.random.fold_in(rng, 17))
+            use_sc = jax.random.bernoulli(r_sc, 0.5)
+            pred_free = unet.apply(params, x_noisy, log_snr, **kwargs)
+            if objective == "noise":
+                x0_est = scheduler.predict_start_from_noise(x_noisy, times, pred_free)
+            elif objective == "v":
+                x0_est = scheduler.predict_start_from_v(x_noisy, times, pred_free)
+            else:
+                x0_est = pred_free
+            sc = jax.lax.stop_gradient(x0_est) * use_sc.astype(x0_est.dtype)
+            kwargs["self_cond"] = sc
         pred = unet.apply(params, x_noisy, log_snr, **kwargs)
 
         if objective == "noise":
@@ -230,6 +262,9 @@ class Imagen:
         cond_scale: float = 1.0,
         lowres_cond_img=None,
         lowres_noise_cond=None,
+        inpaint_images=None,
+        inpaint_masks=None,
+        inpaint_resample_times: int = 5,
     ) -> jnp.ndarray:
         """One stage's p_sample_loop with CFG + dynamic thresholding."""
         unet = self.unets[unet_index]
@@ -237,7 +272,10 @@ class Imagen:
         objective = self.pred_objectives[unet_index]
         use_thresh = self.dynamic_thresholding[unet_index]
         size = self.image_sizes[unet_index]
-        shape = (batch, size, size, self.channels)
+        if self.video:
+            shape = (batch, self.video_frames, size, size, self.channels)
+        else:
+            shape = (batch, size, size, self.channels)
 
         kwargs = dict(text_embeds=text_embeds, text_mask=text_mask)
         if lowres_cond_img is not None:
@@ -258,6 +296,19 @@ class Imagen:
 
         from ...sampling.continuous import p_sample_loop_continuous
 
+        inpaint_kw = {}
+        if inpaint_images is not None and inpaint_masks is not None:
+            # inpainting operates in normalized space at this stage's size
+            ip = inpaint_images
+            if self.auto_normalize_img:
+                ip = normalize_neg_one_to_one(ip)
+            inpaint_kw = dict(
+                inpaint_images=self._resize(ip, size),
+                inpaint_masks=self._resize(
+                    inpaint_masks.astype(jnp.float32), size
+                ),
+                resample_times=inpaint_resample_times,
+            )
         return p_sample_loop_continuous(
             model_fn,
             scheduler,
@@ -266,6 +317,7 @@ class Imagen:
             pred_objective=objective,
             use_dynamic_threshold=bool(use_thresh),
             threshold_percentile=self.dynamic_thresholding_percentile,
+            **inpaint_kw,
         )
 
     def sample(
@@ -280,6 +332,9 @@ class Imagen:
         stop_at_unet_number: Optional[int] = None,
         start_image_or_video: Optional[jnp.ndarray] = None,
         start_at_unet_number: int = 1,
+        inpaint_images: Optional[jnp.ndarray] = None,
+        inpaint_masks: Optional[jnp.ndarray] = None,
+        inpaint_resample_times: int = 5,
     ) -> jnp.ndarray:
         """Walk the cascade (imagen_pytorch.py:4007-4280): each stage
         samples at its resolution, conditioning on the previous stage's
@@ -294,7 +349,7 @@ class Imagen:
             if getattr(unet, "lowres_cond", False):
                 assert img is not None, "SR stage requires a previous image"
                 size = self.image_sizes[idx]
-                lowres_cond_img = resize_image(img, size, size)
+                lowres_cond_img = self._resize(img, size)
                 aug_times = jnp.full(
                     (batch_size,), self.lowres_sample_noise_level
                 )
@@ -316,6 +371,9 @@ class Imagen:
                 cond_scale=cond_scale,
                 lowres_cond_img=lowres_cond_img,
                 lowres_noise_cond=lowres_noise_cond,
+                inpaint_images=inpaint_images,
+                inpaint_masks=inpaint_masks,
+                inpaint_resample_times=inpaint_resample_times,
             )
             if stop_at_unet_number is not None and idx + 1 >= stop_at_unet_number:
                 break
@@ -364,8 +422,8 @@ class ElucidatedImagen(Imagen):
         lowres_aug_times = None
         if getattr(unet, "lowres_cond", False):
             prev_size = self.image_sizes[unet_index - 1]
-            lowres = resize_image(x_start, prev_size, prev_size)
-            lowres_cond_img = resize_image(lowres, size, size)
+            lowres = self._resize(x_start, prev_size)
+            lowres_cond_img = self._resize(lowres, size)
             aug = jax.random.uniform(r_aug, ())
             lowres_aug_times = jnp.full((b,), 1.0) * aug
             lowres_cond_img, *_ = self.lowres_noise_schedule.q_sample(
@@ -374,7 +432,7 @@ class ElucidatedImagen(Imagen):
                 jax.random.normal(r_augn, lowres_cond_img.shape),
             )
 
-        x_start = resize_image(x_start, size, size)
+        x_start = self._resize(x_start, size)
         sigmas = cfg.noise_distribution(r_sigma, b)
         from ...core.schedules import right_pad_dims_to
 
@@ -417,11 +475,23 @@ class ElucidatedImagen(Imagen):
         cond_scale: float = 1.0,
         lowres_cond_img=None,
         lowres_noise_cond=None,
+        inpaint_images=None,
+        inpaint_masks=None,
+        inpaint_resample_times: int = 5,
     ) -> jnp.ndarray:
+        # EDM inpainting-by-resampling (elucidated_imagen.py:493-540) is
+        # not yet wired into the churn scan; fail loudly rather than
+        # silently ignoring the masks.
+        assert inpaint_images is None, (
+            "inpainting is currently supported on the DDPM cascade path only"
+        )
         unet = self.unets[unet_index]
         cfg = self.edm_configs[unet_index]
         size = self.image_sizes[unet_index]
-        shape = (batch, size, size, self.channels)
+        if self.video:
+            shape = (batch, self.video_frames, size, size, self.channels)
+        else:
+            shape = (batch, size, size, self.channels)
         use_thresh = self.dynamic_thresholding[unet_index]
 
         kwargs = dict(text_embeds=text_embeds, text_mask=text_mask)

@@ -39,6 +39,12 @@ from flax import linen as nn
 from ...ops.attention import attention_core
 from ...ops.embeddings import learned_sinusoidal_embedding
 from ...ops.resize import resize_image
+from .blocks import (
+    CrossEmbedLayer,
+    GlobalContext,
+    PerceiverResampler,
+    PixelShuffleUpsample,
+)
 
 
 class CrossAttention(nn.Module):
@@ -104,6 +110,7 @@ class ResnetBlock(nn.Module):
     cond_dim: Optional[int] = None  # enables cross-attention
     time_cond_dim: Optional[int] = None
     groups: int = 8
+    use_global_context: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -151,6 +158,11 @@ class ResnetBlock(nn.Module):
             h = tokens.reshape(b, hh, ww, cc)
 
         h = block(h, use_film=True, name="block2")
+
+        if self.use_global_context:
+            h = h * GlobalContext(
+                self.out_channels, dtype=self.dtype, name="global_context"
+            )(h)
 
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(
@@ -219,6 +231,19 @@ class ImagenUNet(nn.Module):
     self_cond: bool = False
     learned_sinu_dim: int = 16
     max_text_len: int = 256
+    # text pooling: 'attention_pool' (masked mean) or 'perceiver'
+    # (PerceiverResampler, imagen_pytorch.py:1068-1170)
+    text_pool: str = "attention_pool"
+    num_latents: int = 32
+    # multi-kernel stem (CrossEmbedLayer, imagen_pytorch.py:2220) vs 7x7 conv
+    use_cross_embed: bool = False
+    # anti-checkerboard pixel-shuffle upsampling (imagen_pytorch.py:1320)
+    pixel_shuffle_upsample: bool = True
+    # squeeze-excite global context gating in resnet blocks
+    use_global_context: bool = False
+    # gradient checkpointing of resnet blocks (the reference's
+    # memory_efficient flag, imagen_pytorch.py:2388) -> jax.checkpoint
+    memory_efficient: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -333,7 +358,19 @@ class ImagenUNet(nn.Module):
                 text_tokens = text_tokens * keep + null_text[None, :ln].astype(
                     self.dtype
                 ) * (1 - keep)
-            pooled = _attention_pool(text_tokens, text_mask)
+            if self.text_pool == "perceiver":
+                resampled = PerceiverResampler(
+                    depth=2,
+                    num_latents=self.num_latents,
+                    dtype=self.dtype,
+                    name="perceiver",
+                )(text_tokens, text_mask)
+                pooled = resampled.mean(axis=1)
+                # resampled latents replace raw tokens as attention context
+                text_tokens = resampled
+                text_mask = None
+            else:
+                pooled = _attention_pool(text_tokens, text_mask)
             pooled_hidden = nn.silu(
                 nn.LayerNorm(dtype=self.dtype, name="text_hid_ln")(
                     nn.Dense(
@@ -366,6 +403,11 @@ class ImagenUNet(nn.Module):
             context_mask = None
 
         # ---- UNet trunk --------------------------------------------------
+        ResBlock = (
+            nn.remat(ResnetBlock, static_argnums=())
+            if self.memory_efficient
+            else ResnetBlock
+        )
         dims = [self.dim * m for m in self.dim_mults]
         n_levels = len(dims)
         n_blocks = (
@@ -374,18 +416,25 @@ class ImagenUNet(nn.Module):
             else list(self.num_resnet_blocks)
         )
 
-        h = nn.Conv(dims[0], (7, 7), padding=3, dtype=self.dtype, name="init_conv")(
-            h
-        )
+        if self.use_cross_embed:
+            h = CrossEmbedLayer(
+                dims[0], kernel_sizes=(3, 7, 15), dtype=self.dtype,
+                name="init_cross_embed",
+            )(h)
+        else:
+            h = nn.Conv(
+                dims[0], (7, 7), padding=3, dtype=self.dtype, name="init_conv"
+            )(h)
 
         skips = []
         for lvl in range(n_levels):
             use_cross = self.layer_cross_attns[lvl]
             for bi in range(n_blocks[lvl]):
-                h = ResnetBlock(
+                h = ResBlock(
                     dims[lvl],
                     cond_dim=cond_dim if use_cross else None,
                     time_cond_dim=time_cond_dim,
+                    use_global_context=self.use_global_context,
                     dtype=self.dtype,
                     name=f"down_{lvl}_res{bi}",
                 )(
@@ -431,21 +480,27 @@ class ImagenUNet(nn.Module):
         for lvl in reversed(range(n_levels)):
             use_cross = self.layer_cross_attns[lvl]
             if lvl < n_levels - 1:
-                b_, hh, ww, _ = h.shape
-                h = resize_image(h, hh * 2, ww * 2, method="nearest")
-                h = nn.Conv(
-                    dims[lvl],
-                    (3, 3),
-                    padding=1,
-                    dtype=self.dtype,
-                    name=f"up_{lvl}_upsample",
-                )(h)
+                if self.pixel_shuffle_upsample:
+                    h = PixelShuffleUpsample(
+                        dims[lvl], dtype=self.dtype, name=f"up_{lvl}_pixelshuffle"
+                    )(h)
+                else:
+                    b_, hh, ww, _ = h.shape
+                    h = resize_image(h, hh * 2, ww * 2, method="nearest")
+                    h = nn.Conv(
+                        dims[lvl],
+                        (3, 3),
+                        padding=1,
+                        dtype=self.dtype,
+                        name=f"up_{lvl}_upsample",
+                    )(h)
             h = jnp.concatenate([h, skips[lvl]], axis=-1)
             for bi in range(n_blocks[lvl]):
-                h = ResnetBlock(
+                h = ResBlock(
                     dims[lvl],
                     cond_dim=cond_dim if use_cross else None,
                     time_cond_dim=time_cond_dim,
+                    use_global_context=self.use_global_context,
                     dtype=self.dtype,
                     name=f"up_{lvl}_res{bi}",
                 )(

@@ -1,0 +1,341 @@
+"""Video UNet (Unet3D): factorized space/time diffusion backbone.
+
+Rebuild of the cascade's video variant (CascadedDDPM/imagen_video.py,
+~1900 LoC): spatial processing reuses the 2-D Imagen blocks with frames
+folded into the batch axis, interleaved with
+
+* temporal convolutions — 1-D convs over the frame axis
+  (imagen_video.py:393-440's Conv3d temporal kernels), and
+* temporal attention — per-pixel attention across frames
+  (imagen_video.py:253-320's time-centric rearrange + attention),
+
+exactly the factorization the reference uses. Enables
+``Imagen(video=True)`` (imagen_pytorch.py's is_video pathway).
+
+Layout: (B, F, H, W, C) channel-last video batches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.embeddings import learned_sinusoidal_embedding
+from ...ops.resize import resize_image
+from .unet import ResnetBlock, TransformerBlock, _attention_pool
+
+
+def fold_frames(x: jnp.ndarray):
+    """(B, F, H, W, C) -> (B*F, H, W, C)."""
+    b, f, h, w, c = x.shape
+    return x.reshape(b * f, h, w, c), (b, f)
+
+
+def unfold_frames(x: jnp.ndarray, bf) -> jnp.ndarray:
+    b, f = bf
+    return x.reshape(b, f, *x.shape[1:])
+
+
+class TemporalConv(nn.Module):
+    """1-D conv over the frame axis per pixel (imagen_video.py:393-440).
+
+    Identity-initialized output projection so a freshly-added temporal
+    layer doesn't perturb pretrained spatial behavior (the reference
+    zero-inits its temporal convs for the same reason)."""
+
+    channels: int
+    kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, f, h, w, c = x.shape
+        tokens = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        out = nn.Conv(
+            self.channels,
+            (self.kernel,),
+            padding=self.kernel // 2,
+            dtype=self.dtype,
+            name="conv",
+        )(tokens)
+        out = nn.Conv(
+            self.channels,
+            (1,),
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="proj_out",
+        )(nn.silu(out))
+        out = out.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+        return x + out
+
+
+class TemporalAttention(nn.Module):
+    """Attention across frames for each spatial position
+    (imagen_video.py:253-320). Zero-initialized output projection."""
+
+    n_heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, f, h, w, c = x.shape
+        head_dim = max(c // self.n_heads, 8)
+        inner = head_dim * self.n_heads
+        tokens = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        normed = nn.LayerNorm(dtype=self.dtype, name="ln")(tokens)
+        qkv = nn.Dense(3 * inner, use_bias=False, dtype=self.dtype, name="qkv")(
+            normed
+        )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        reshape = lambda t: t.reshape(-1, f, self.n_heads, head_dim)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", reshape(q), reshape(k)
+        ) * head_dim**-0.5
+        wts = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", wts, reshape(v)).reshape(-1, f, inner)
+        out = nn.Dense(
+            c,
+            use_bias=False,
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="out",
+        )(out)
+        tokens = tokens + out
+        return tokens.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+
+
+class ImagenUNet3D(nn.Module):
+    """Video-stage UNet with the ImagenUNet conditioning surface.
+
+    Signature matches ImagenUNet but takes (B, F, H, W, C) videos; the
+    cascade calls it through the same black-box convention."""
+
+    dim: int = 64
+    dim_mults: Sequence[int] = (1, 2, 4)
+    channels: int = 3
+    cond_dim: Optional[int] = None
+    text_embed_dim: int = 768
+    num_resnet_blocks: int = 1
+    layer_attns: Sequence[bool] = (False, True, True)
+    layer_cross_attns: Sequence[bool] = (False, True, True)
+    temporal_attns: Sequence[bool] = (True, True, True)
+    attn_heads: int = 4
+    lowres_cond: bool = False
+    self_cond: bool = False
+    learned_sinu_dim: int = 16
+    max_text_len: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, F, H, W, C)
+        noise_cond: jnp.ndarray,  # (B,)
+        *,
+        text_embeds: Optional[jnp.ndarray] = None,
+        text_mask: Optional[jnp.ndarray] = None,
+        cond_drop_mask: Optional[jnp.ndarray] = None,
+        lowres_cond_img: Optional[jnp.ndarray] = None,  # (B, F, H, W, C)
+        lowres_noise_cond: Optional[jnp.ndarray] = None,
+        cond_images: Optional[jnp.ndarray] = None,
+        self_cond: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        del train, cond_images
+        b, f, h_in, w_in, _ = x.shape
+        in_dtype = x.dtype
+        cond_dim = self.cond_dim or self.dim
+        time_cond_dim = self.dim * 4
+
+        parts = [x.astype(self.dtype)]
+        if self.lowres_cond:
+            lr = (
+                jnp.zeros_like(x)
+                if lowres_cond_img is None
+                else lowres_cond_img.astype(x.dtype)
+            )
+            if lr.shape[2:4] != (h_in, w_in):
+                flat, bf = fold_frames(lr)
+                lr = unfold_frames(resize_image(flat, h_in, w_in), bf)
+            parts.append(lr.astype(self.dtype))
+        if self.self_cond:
+            sc = jnp.zeros_like(x) if self_cond is None else self_cond
+            parts.append(sc.astype(self.dtype))
+        hx = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+        # time conditioning (shared across frames)
+        sinu_w = self.param(
+            "sinu_freqs",
+            nn.initializers.normal(1.0),
+            (self.learned_sinu_dim // 2,),
+            jnp.float32,
+        )
+        t_feat = learned_sinusoidal_embedding(noise_cond, sinu_w).astype(self.dtype)
+        t_hid = nn.silu(nn.Dense(time_cond_dim, dtype=self.dtype, name="time_mlp1")(t_feat))
+        time_cond = nn.Dense(time_cond_dim, dtype=self.dtype, name="time_mlp2")(t_hid)
+        if self.lowres_cond:
+            lr_noise = (
+                jnp.zeros((b,), jnp.float32)
+                if lowres_noise_cond is None
+                else lowres_noise_cond
+            )
+            lr_w = self.param(
+                "lowres_sinu_freqs",
+                nn.initializers.normal(1.0),
+                (self.learned_sinu_dim // 2,),
+                jnp.float32,
+            )
+            lr_feat = learned_sinusoidal_embedding(lr_noise, lr_w).astype(self.dtype)
+            lr_hid = nn.silu(
+                nn.Dense(time_cond_dim, dtype=self.dtype, name="lr_mlp1")(lr_feat)
+            )
+            time_cond = time_cond + nn.Dense(
+                time_cond_dim, dtype=self.dtype, name="lr_mlp2"
+            )(lr_hid)
+
+        context = None
+        context_mask = None
+        if text_embeds is not None:
+            text_tokens = nn.Dense(cond_dim, dtype=self.dtype, name="text_to_cond")(
+                text_embeds.astype(self.dtype)
+            )
+            null_text = self.param(
+                "null_text_embed",
+                nn.initializers.normal(0.02),
+                (self.max_text_len, cond_dim),
+                jnp.float32,
+            )
+            if cond_drop_mask is not None:
+                keep = (~cond_drop_mask).astype(self.dtype).reshape(b, 1, 1)
+                ln = text_tokens.shape[1]
+                text_tokens = text_tokens * keep + null_text[None, :ln].astype(
+                    self.dtype
+                ) * (1 - keep)
+            pooled = _attention_pool(text_tokens, text_mask)
+            time_cond = time_cond + nn.Dense(
+                time_cond_dim, dtype=self.dtype, name="text_to_hidden"
+            )(pooled)
+            context = nn.LayerNorm(dtype=self.dtype, name="context_ln")(text_tokens)
+            context_mask = text_mask
+
+        # frame-folded conditioning tensors
+        time_cond_f = jnp.repeat(time_cond, f, axis=0)
+        context_f = jnp.repeat(context, f, axis=0) if context is not None else None
+        context_mask_f = (
+            jnp.repeat(context_mask, f, axis=0) if context_mask is not None else None
+        )
+
+        dims = [self.dim * m for m in self.dim_mults]
+        n_levels = len(dims)
+
+        flat, bf = fold_frames(hx)
+        flat = nn.Conv(dims[0], (7, 7), padding=3, dtype=self.dtype, name="init_conv")(
+            flat
+        )
+        hx = unfold_frames(flat, bf)
+        hx = TemporalConv(dims[0], dtype=self.dtype, name="init_temporal")(hx)
+
+        skips = []
+        for lvl in range(n_levels):
+            use_cross = self.layer_cross_attns[lvl]
+            flat, bf = fold_frames(hx)
+            for bi in range(self.num_resnet_blocks):
+                flat = ResnetBlock(
+                    dims[lvl],
+                    cond_dim=cond_dim if use_cross else None,
+                    time_cond_dim=time_cond_dim,
+                    dtype=self.dtype,
+                    name=f"down_{lvl}_res{bi}",
+                )(
+                    flat,
+                    time_cond_f,
+                    context_f if use_cross else None,
+                    context_mask_f if use_cross else None,
+                )
+            if self.layer_attns[lvl]:
+                flat = TransformerBlock(
+                    n_heads=self.attn_heads, dtype=self.dtype, name=f"down_{lvl}_attn"
+                )(flat)
+            hx = unfold_frames(flat, bf)
+            hx = TemporalConv(dims[lvl], dtype=self.dtype, name=f"down_{lvl}_tconv")(hx)
+            if self.temporal_attns[lvl]:
+                hx = TemporalAttention(
+                    n_heads=self.attn_heads, dtype=self.dtype, name=f"down_{lvl}_tattn"
+                )(hx)
+            skips.append(hx)
+            if lvl < n_levels - 1:
+                flat, bf = fold_frames(hx)
+                flat = nn.Conv(
+                    dims[lvl + 1],
+                    (4, 4),
+                    strides=2,
+                    padding=1,
+                    dtype=self.dtype,
+                    name=f"down_{lvl}_downsample",
+                )(flat)
+                hx = unfold_frames(flat, bf)
+
+        flat, bf = fold_frames(hx)
+        flat = ResnetBlock(
+            dims[-1],
+            cond_dim=cond_dim,
+            time_cond_dim=time_cond_dim,
+            dtype=self.dtype,
+            name="mid_res1",
+        )(flat, time_cond_f, context_f, context_mask_f)
+        flat = ResnetBlock(
+            dims[-1],
+            cond_dim=cond_dim,
+            time_cond_dim=time_cond_dim,
+            dtype=self.dtype,
+            name="mid_res2",
+        )(flat, time_cond_f, context_f, context_mask_f)
+        hx = unfold_frames(flat, bf)
+        hx = TemporalAttention(
+            n_heads=self.attn_heads, dtype=self.dtype, name="mid_tattn"
+        )(hx)
+
+        for lvl in reversed(range(n_levels)):
+            use_cross = self.layer_cross_attns[lvl]
+            if lvl < n_levels - 1:
+                flat, bf = fold_frames(hx)
+                b_, hh, ww, _ = flat.shape
+                flat = resize_image(flat, hh * 2, ww * 2, method="nearest")
+                flat = nn.Conv(
+                    dims[lvl], (3, 3), padding=1, dtype=self.dtype,
+                    name=f"up_{lvl}_upsample",
+                )(flat)
+                hx = unfold_frames(flat, bf)
+            hx = jnp.concatenate([hx, skips[lvl]], axis=-1)
+            flat, bf = fold_frames(hx)
+            for bi in range(self.num_resnet_blocks):
+                flat = ResnetBlock(
+                    dims[lvl],
+                    cond_dim=cond_dim if use_cross else None,
+                    time_cond_dim=time_cond_dim,
+                    dtype=self.dtype,
+                    name=f"up_{lvl}_res{bi}",
+                )(
+                    flat,
+                    time_cond_f,
+                    context_f if use_cross else None,
+                    context_mask_f if use_cross else None,
+                )
+            hx = unfold_frames(flat, bf)
+            hx = TemporalConv(dims[lvl], dtype=self.dtype, name=f"up_{lvl}_tconv")(hx)
+            if self.temporal_attns[lvl]:
+                hx = TemporalAttention(
+                    n_heads=self.attn_heads, dtype=self.dtype, name=f"up_{lvl}_tattn"
+                )(hx)
+
+        flat, bf = fold_frames(hx)
+        out = nn.Conv(
+            self.channels, (3, 3), padding=1, dtype=jnp.float32, name="final_conv"
+        )(flat.astype(jnp.float32))
+        return unfold_frames(out, bf).astype(in_dtype)
+
+
+__all__ = ["ImagenUNet3D", "TemporalConv", "TemporalAttention", "fold_frames", "unfold_frames"]

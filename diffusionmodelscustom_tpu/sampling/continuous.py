@@ -4,7 +4,10 @@ as one fused ``lax.scan``.
 Parity with CascadedDDPM/imagen_pytorch.py:3850-4005: walk (t, t_next)
 pairs from 1 to 0, estimate x0 from the configured objective, dynamically
 threshold it, take the q_posterior step, and inject noise everywhere
-except the final step.
+except the final step. Supports inpainting with repaint-style resampling
+(imagen_pytorch.py:4070-4084): the known region is replaced by
+q_sample(inpaint_image, t) each step, and each timestep can be re-noised
+and re-denoised ``resample_times`` times.
 """
 
 from __future__ import annotations
@@ -30,6 +33,9 @@ def p_sample_loop_continuous(
     use_dynamic_threshold: bool = True,
     threshold_percentile: float = 0.95,
     x_init: Optional[jnp.ndarray] = None,
+    inpaint_images: Optional[jnp.ndarray] = None,
+    inpaint_masks: Optional[jnp.ndarray] = None,  # True where KNOWN
+    resample_times: int = 5,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Full reverse pass; returns the final x0-clamped sample."""
@@ -42,9 +48,21 @@ def p_sample_loop_continuous(
     batch = x.shape[0]
     t_seq, t_next_seq = scheduler.get_sampling_timesteps(batch)
 
-    def step(carry, pair):
-        x, i = carry
-        t, t_next = pair
+    has_inpaint = inpaint_images is not None and inpaint_masks is not None
+    n_resample = resample_times if has_inpaint else 1
+    if has_inpaint:
+        inpaint_masks = inpaint_masks.astype(x.dtype)
+
+    def denoise_once(x, t, t_next, step_rng):
+        if has_inpaint:
+            known_noise = jax.random.normal(
+                jax.random.fold_in(step_rng, 1), x.shape, x.dtype
+            )
+            x_known, *_ = scheduler.q_sample(
+                inpaint_images.astype(x.dtype), t, known_noise
+            )
+            x = x * (1.0 - inpaint_masks) + x_known * inpaint_masks
+
         pred = model_fn(x, scheduler.get_condition(t), t)
         if pred_objective == "noise":
             x_start = scheduler.predict_start_from_noise(x, t, pred)
@@ -61,13 +79,38 @@ def p_sample_loop_continuous(
             x_start = jnp.clip(x_start, -1.0, 1.0)
 
         mean, variance, _log_var = scheduler.q_posterior(x_start, x, t, t_next)
-        noise = jax.random.normal(jax.random.fold_in(rng_loop, i), x.shape, x.dtype)
-        # no noise on the final step (t_next == 0)
+        noise = jax.random.normal(
+            jax.random.fold_in(step_rng, 2), x.shape, x.dtype
+        )
         is_last = (t_next <= 0.0).reshape((-1,) + (1,) * (x.ndim - 1))
-        x = mean + jnp.where(is_last, 0.0, jnp.sqrt(variance) * noise)
+        return mean + jnp.where(is_last, 0.0, jnp.sqrt(variance) * noise)
+
+    def step(carry, pair):
+        x, i = carry
+        t, t_next = pair
+        step_rng = jax.random.fold_in(rng_loop, i)
+
+        if n_resample == 1:
+            x = denoise_once(x, t, t_next, step_rng)
+        else:
+
+            def resample_body(r, x):
+                r_rng = jax.random.fold_in(step_rng, r)
+                x = denoise_once(x, t, t_next, r_rng)
+                # repaint: re-noise t_next -> t except on the final pass
+                renoise = jax.random.normal(
+                    jax.random.fold_in(r_rng, 3), x.shape, x.dtype
+                )
+                x_back = scheduler.q_sample_from_to(x, t_next, t, renoise)
+                return jnp.where(r < n_resample - 1, x_back, x)
+
+            x = jax.lax.fori_loop(0, n_resample, resample_body, x)
+
         return (x, i + 1), None
 
     (x, _), _ = jax.lax.scan(step, (x, 0), (t_seq, t_next_seq))
+    if has_inpaint:
+        x = x * (1.0 - inpaint_masks) + inpaint_images.astype(x.dtype) * inpaint_masks
     return jnp.clip(x, -1.0, 1.0)
 
 

@@ -8,6 +8,12 @@ from .config import (
     TrainingConfig,
     UnetConfig,
 )
+from .plotting import (
+    compare_loss_curves,
+    load_loss_history,
+    save_loss_curves,
+    save_sample_grid,
+)
 from .profiling import StepTimer, count_params, memory_stats, model_summary, trace
 
 __all__ = [
@@ -18,10 +24,14 @@ __all__ = [
     "StepTimer",
     "TrainingConfig",
     "UnetConfig",
+    "compare_loss_curves",
     "count_params",
     "memory_stats",
     "model_summary",
     "restore_pytree",
+    "load_loss_history",
+    "save_loss_curves",
     "save_pytree",
+    "save_sample_grid",
     "trace",
 ]
