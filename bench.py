@@ -1,8 +1,15 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Primary metric (BASELINE.json): DANRA 128x128 conditional sampling,
-1000-step DDPM, samples/sec/chip, plus train steps/sec as a secondary
-diagnostic (stderr).
+Default (primary) metric per BASELINE.json: DANRA 128x128 conditional
+sampling, 1000-step DDPM, samples/sec/chip. ``--config`` selects the other
+reference-equivalent benchmark configs from BASELINE.md:
+
+    mnist        28x28 unconditional DDPM (config #1)
+    danra64      64x64 unconditional      (config #2)
+    danra64cond  64x64 conditional lsm+topo+sdf (config #3)
+    danra128     128x128 conditional, the primary metric (config #4)
+    cascade      imagen base64+SR128 elucidated cascade sampling (config #5)
+    train        training steps/sec on the danra128 config
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
 is computed against a documented estimate of the PyTorch reference on one
@@ -16,6 +23,7 @@ estimate is intentionally favourable to the reference.
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -23,11 +31,12 @@ import time
 import jax
 import jax.numpy as jnp
 
-REF_A100_SAMPLES_PER_SEC = 0.5  # documented estimate, see module docstring
+# persistent compilation cache: repeat bench runs skip the (slow) remote
+# compile of the big training/sampling graphs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-SIZE = 128
-SAMPLE_BATCH = 8
-TRAIN_BATCH = 32
+REF_A100_SAMPLES_PER_SEC = 0.5  # documented estimate, see module docstring
 N_TIMESTEPS = 1000
 
 
@@ -35,84 +44,188 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    from __graft_entry__ import _example_batch, _flagship
-    from diffusionmodelscustom_tpu.core import GaussianDiffusion
-    from diffusionmodelscustom_tpu.sampling import ancestral_sample
-    from diffusionmodelscustom_tpu.train import Trainer, TrainerConfig
-
-    backend = jax.default_backend()
-    n_dev = len(jax.devices())
-    log(f"backend={backend} devices={n_dev}")
-
-    rng = jax.random.key(0)
-    model = _flagship()
-    diffusion = GaussianDiffusion.create(n_timesteps=N_TIMESTEPS)
-
-    # ---- training throughput (secondary, stderr) -------------------------
-    trainer = Trainer(
-        model,
-        diffusion,
-        TrainerConfig(loss="sdfweighted", cfg_dropout_prob=0.1, num_classes=4),
-    )
-    batch = _example_batch(rng, TRAIN_BATCH, SIZE)
-    state = trainer.init_state(rng, batch)
-    t0 = time.perf_counter()
-    state, metrics = trainer.train_step(state, batch, jax.random.key(1))
-    jax.block_until_ready(metrics["loss"])
-    log(f"train_step compile+first: {time.perf_counter() - t0:.2f}s")
-    n_steps = 10
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = trainer.train_step(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
-    train_sps = n_steps / (time.perf_counter() - t0)
-    log(
-        f"train: {train_sps:.3f} steps/s "
-        f"({train_sps * TRAIN_BATCH:.1f} img/s) loss={float(metrics['loss']):.4f}"
-    )
-
-    # ---- sampling throughput (primary metric) ----------------------------
-    params = state.ema_params if state.ema_params is not None else state.params
-    cond = _example_batch(jax.random.key(2), SAMPLE_BATCH, SIZE)
-
-    def denoise(x, t):
-        return model.apply(
-            {"params": params},
-            x,
-            t,
-            cond["classifier"],
-            cond["img_cond"],
-            cond["lsm"],
-            cond["topo"],
-        )
-
-    sample_fn = jax.jit(
-        lambda key: ancestral_sample(
-            denoise, diffusion, key, (SAMPLE_BATCH, SIZE, SIZE, 1)
+def emit(metric, value, unit, vs_baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(float(value), 4),
+                "unit": unit,
+                "vs_baseline": round(float(vs_baseline), 3),
+            }
         )
     )
+
+
+def _time_sampler(sample_fn, batch):
     t0 = time.perf_counter()
     jax.block_until_ready(sample_fn(jax.random.key(3)))
     log(f"sample compile+first: {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
-    out = sample_fn(jax.random.key(4))
-    jax.block_until_ready(out)
+    jax.block_until_ready(sample_fn(jax.random.key(4)))
     dt = time.perf_counter() - t0
-    samples_per_sec = SAMPLE_BATCH / dt
-    log(f"sample: {dt:.2f}s for {SAMPLE_BATCH} x {N_TIMESTEPS}-step -> "
-        f"{samples_per_sec:.3f} samples/s/chip")
+    sps = batch / dt
+    log(f"sample: {dt:.2f}s for batch {batch} -> {sps:.3f} samples/s/chip")
+    return sps
 
-    print(
-        json.dumps(
-            {
-                "metric": "danra128_cond_ddpm1000_sampling",
-                "value": round(samples_per_sec, 4),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(samples_per_sec / REF_A100_SAMPLES_PER_SEC, 3),
-            }
+
+def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = ""):
+    from __graft_entry__ import _example_batch, _flagship
+    from diffusionmodelscustom_tpu.core import GaussianDiffusion
+    from diffusionmodelscustom_tpu.models import ConditionalUNet
+    from diffusionmodelscustom_tpu.sampling import ancestral_sample
+
+    if conditional:
+        model = _flagship()
+        cond = _example_batch(jax.random.key(2), batch, size)
+        params = model.init(
+            jax.random.key(0),
+            cond["img"],
+            jnp.zeros((batch,), jnp.int32),
+            cond["classifier"],
+            cond["img_cond"],
+            cond["lsm"],
+            cond["topo"],
+        )["params"]
+
+        def denoise(x, t):
+            return model.apply(
+                {"params": params}, x, t, cond["classifier"], cond["img_cond"],
+                cond["lsm"], cond["topo"],
+            )
+    else:
+        model = ConditionalUNet(
+            out_channels=1, base_channels=64, time_dim=256, n_heads=4,
+            num_classes=None, dtype=jnp.bfloat16,
+            attention_levels=(1, 2, 3), attention_levels_up=(2, 1),
+        )
+        x0 = jnp.zeros((batch, size, size, 1))
+        params = model.init(jax.random.key(0), x0, jnp.zeros((batch,), jnp.int32))[
+            "params"
+        ]
+
+        def denoise(x, t):
+            return model.apply({"params": params}, x, t)
+
+    diffusion = GaussianDiffusion.create(n_timesteps=N_TIMESTEPS)
+    sample_fn = jax.jit(
+        lambda key: ancestral_sample(
+            denoise, diffusion, key, (batch, size, size, 1)
         )
     )
+    sps = _time_sampler(sample_fn, batch)
+    emit(tag, sps, "samples/sec/chip", sps / REF_A100_SAMPLES_PER_SEC)
+
+
+def bench_mnist():
+    """28x28 unconditional (BASELINE config #1; pads to 32 for the UNet
+    pyramid, as any reasonable port would)."""
+    bench_danra(32, conditional=False, batch=64, tag="mnist32_uncond_ddpm1000")
+
+
+def bench_cascade():
+    from diffusionmodelscustom_tpu.core import EDMConfig
+    from diffusionmodelscustom_tpu.models.imagen import ElucidatedImagen, ImagenUNet
+
+    text_dim = 768
+    unets = [
+        ImagenUNet(dim=128, dim_mults=(1, 2, 3), channels=3,
+                   text_embed_dim=text_dim, num_resnet_blocks=2,
+                   layer_attns=(False, True, True),
+                   layer_cross_attns=(False, True, True), attn_heads=4,
+                   dtype=jnp.bfloat16),
+        ImagenUNet(dim=64, dim_mults=(1, 2, 4), channels=3,
+                   text_embed_dim=text_dim, num_resnet_blocks=2,
+                   layer_attns=(False, False, True),
+                   layer_cross_attns=(False, False, True), attn_heads=4,
+                   lowres_cond=True, dtype=jnp.bfloat16),
+    ]
+    cascade = ElucidatedImagen(
+        unets=unets, image_sizes=(64, 128), channels=3,
+        edm=EDMConfig(num_sample_steps=32),
+    )
+    batch = 4
+    rng = jax.random.key(0)
+    params = [
+        cascade.init_unet_params(i, jax.random.fold_in(rng, i), text_embed_dim=text_dim)
+        for i in range(2)
+    ]
+    te = jax.random.normal(jax.random.key(1), (batch, 8, text_dim))
+    tm = jnp.ones((batch, 8), bool)
+
+    t0 = time.perf_counter()
+    out = cascade.sample(
+        params, jax.random.key(2), batch_size=batch, text_embeds=te, text_mask=tm
+    )
+    jax.block_until_ready(out)
+    log(f"cascade compile+first: {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    out = cascade.sample(
+        params, jax.random.key(5), batch_size=batch, text_embeds=te, text_mask=tm
+    )
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    sps = batch / dt
+    log(f"cascade: {dt:.2f}s -> {sps:.3f} samples/s/chip (64->128, EDM 32 steps)")
+    emit("imagen_cascade_edm32_64to128", sps, "samples/sec/chip", sps / 0.5)
+
+
+def bench_train():
+    from __graft_entry__ import _example_batch, _flagship
+    from diffusionmodelscustom_tpu.core import GaussianDiffusion
+    from diffusionmodelscustom_tpu.train import Trainer, TrainerConfig
+
+    batch, size = 32, 128
+    model = _flagship()
+    diffusion = GaussianDiffusion.create(n_timesteps=N_TIMESTEPS)
+    trainer = Trainer(
+        model, diffusion,
+        TrainerConfig(loss="sdfweighted", cfg_dropout_prob=0.1, num_classes=4),
+    )
+    rng = jax.random.key(0)
+    b = _example_batch(rng, batch, size)
+    state = trainer.init_state(rng, b)
+    t0 = time.perf_counter()
+    state, metrics = trainer.train_step(state, b, jax.random.key(1))
+    jax.block_until_ready(metrics["loss"])
+    log(f"train compile+first: {time.perf_counter() - t0:.2f}s")
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, metrics = trainer.train_step(state, b, jax.random.fold_in(rng, i))
+    jax.block_until_ready(metrics["loss"])
+    sps = n / (time.perf_counter() - t0)
+    log(f"train: {sps:.3f} steps/s ({sps * batch:.1f} img/s)")
+    # A100 eager reference estimate: ~1.2 steps/s at batch 32 for the same
+    # ~90 GFLOP fwd+bwd graph at 40% utilization
+    emit("danra128_cond_train", sps, "steps/sec/chip", sps / 1.2)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--config",
+        default="danra128",
+        choices=["mnist", "danra64", "danra64cond", "danra128", "cascade", "train"],
+    )
+    args = parser.parse_args()
+    log(f"backend={jax.default_backend()} devices={len(jax.devices())} "
+        f"config={args.config}")
+
+    if args.config == "mnist":
+        bench_mnist()
+    elif args.config == "danra64":
+        bench_danra(64, conditional=False, batch=16, tag="danra64_uncond_ddpm1000")
+    elif args.config == "danra64cond":
+        bench_danra(64, conditional=True, batch=16, tag="danra64_cond_ddpm1000")
+    elif args.config == "cascade":
+        bench_cascade()
+    elif args.config == "train":
+        bench_train()
+    else:
+        bench_danra(
+            128, conditional=True, batch=8, tag="danra128_cond_ddpm1000_sampling"
+        )
 
 
 if __name__ == "__main__":

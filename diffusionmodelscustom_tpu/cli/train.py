@@ -293,6 +293,12 @@ def main(argv=None) -> int:
     example.pop("points", None)
     state = trainer.init_state(rng, example)
 
+    # model summary before training (the reference's torchinfo smoke test,
+    # ddpm_DANRA_conditional_wValid.py:432-473)
+    from ..utils.profiling import model_summary
+
+    print(model_summary(state.params), file=sys.stderr)
+
     ckpt = CheckpointManager(
         save_dir / cfg.data.path_checkpoint, max_to_keep=3, best_mode="min"
     )

@@ -1,6 +1,8 @@
 """Data layer: chunked stores, DANRA datasets, geo preprocessing, prefetch."""
 
 from .dataset import BatchLoader, DanraDataset, DanraDatasetConfig, collate
+from .mnist import has_real_mnist, load_mnist
+from .splits import split_files
 from .imagen_data import ImageFolderDataset, ImagenCollator, ImagenLoader
 from .geo import (
     DateFromFile,
@@ -42,6 +44,9 @@ __all__ = [
     "find_rand_points",
     "gaussian_random_field",
     "generate_sdf",
+    "has_real_mnist",
+    "load_mnist",
+    "split_files",
     "make_synthetic_store",
     "normalize_sdf",
     "open_group",

@@ -62,6 +62,7 @@ class TrainerConfig:
     max_land_weight: float = 1.0
     early_stopping_patience: Optional[int] = None
     num_classes: Optional[int] = None  # for CFG null-label substitution
+    log_grad_norm: bool = False  # extra all-reduce per step when enabled
 
 
 class Trainer:
@@ -209,10 +210,9 @@ class Trainer:
             state.params
         )
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-        }
+        metrics = {"loss": loss}
+        if self.config.log_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     def _eval_step_impl(

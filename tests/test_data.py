@@ -144,3 +144,30 @@ class TestDataset:
     def test_collate(self):
         s = [{"img": np.zeros((4, 4, 1))} for _ in range(3)]
         assert collate(s)["img"].shape == (3, 4, 4, 1)
+
+
+class TestSplitsAndMnist:
+    def test_split_fractions(self):
+        from diffusionmodelscustom_tpu.data import split_files
+
+        files = [f"d_{i:08d}" for i in range(100)]
+        s = split_files(files, train_size=0.8, val_size=0.1, test_size=0.1)
+        assert len(s["train"]) == 80 and len(s["valid"]) == 10
+        assert set(s["train"]) | set(s["valid"]) | set(s["test"]) == set(files)
+        # temporal keeps order
+        s2 = split_files(files, split_type="temporal")
+        assert s2["train"] == files[:80]
+        with pytest.raises(ValueError):
+            split_files(files, split_type="kfold")
+        with pytest.raises(AssertionError):
+            split_files(files, train_size=0.9, val_size=0.2, test_size=0.1)
+
+    def test_mnist_synthetic_fallback(self):
+        from diffusionmodelscustom_tpu.data import load_mnist
+
+        imgs, labels = load_mnist(None, n_synthetic=32)
+        assert imgs.shape == (32, 28, 28, 1)
+        assert imgs.dtype == np.float32
+        assert labels.min() >= 0 and labels.max() <= 9
+        imgs2, _ = load_mnist(None, n_synthetic=32)
+        np.testing.assert_array_equal(imgs, imgs2)  # deterministic

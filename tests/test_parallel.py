@@ -120,3 +120,35 @@ def test_graft_entry_dryrun_smoke():
     import __graft_entry__ as g
 
     g.dryrun_multichip(4)
+
+
+def test_global_batch_from_local_single_process():
+    from diffusionmodelscustom_tpu.parallel import global_batch_from_local
+
+    mesh = make_mesh(8, 1)
+    local = {"img": np.ones((8, 4, 4, 1), np.float32)}
+    out = global_batch_from_local(mesh, local)
+    assert out["img"].shape == (8, 4, 4, 1)
+    assert "data" in str(out["img"].sharding.spec)
+
+
+def test_spatial_partitioning_forward():
+    # shard H over the model axis: XLA inserts conv halo exchange
+    from diffusionmodelscustom_tpu.parallel import spatial_batch_sharding
+
+    mesh = make_mesh(4, 2)
+    model = ConditionalUNet(
+        out_channels=1, base_channels=8, time_dim=16, n_heads=2,
+        attention_levels=(), attention_levels_up=(),
+    )
+    x = jax.random.normal(jax.random.key(0), (4, 32, 32, 1))
+    t = jnp.zeros((4,), jnp.int32)
+    params = model.init(jax.random.key(1), x, t)
+
+    ref = model.apply(params, x, t)
+    xs = jax.device_put(x, spatial_batch_sharding(mesh))
+    with mesh:
+        out = jax.jit(lambda p, xx: model.apply(p, xx, t))(params, xs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-4
+    )
