@@ -41,6 +41,21 @@ def generate_sdf(mask: np.ndarray) -> np.ndarray:
     return 10.0 * binary.astype(np.float32) - dist_sea.astype(np.float32)
 
 
+def generate_signed_sdf(mask: np.ndarray) -> np.ndarray:
+    """Alternate fully-signed SDF: EDT over sea minus EDT over land
+    (the experiment in DDPM_DANRA_conditional/sdf_lsm_map.py:33-50)."""
+    binary = np.asarray(mask) > 0
+    from .native import edt, have_native
+
+    if have_native():
+        dist_to_land = edt(binary)
+        dist_to_sea = edt(~binary)
+    else:
+        dist_to_land = distance_transform_edt(~binary)
+        dist_to_sea = distance_transform_edt(binary)
+    return (dist_to_sea - dist_to_land).astype(np.float32)
+
+
 def normalize_sdf(sdf: np.ndarray) -> np.ndarray:
     """Min-max normalize to [0, 1] (data_DANRA_conditional.py:94-102)."""
     lo, hi = float(np.min(sdf)), float(np.max(sdf))
@@ -184,6 +199,7 @@ def find_rand_points(
 
 __all__ = [
     "generate_sdf",
+    "generate_signed_sdf",
     "normalize_sdf",
     "preprocess_lsm_topography",
     "preprocess_lsm_topography_from_data",

@@ -64,6 +64,19 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_float,
             ctypes.c_float,
         ]
+        lib.batch_crop_resize_scale.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.c_int,
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -136,4 +149,57 @@ def crop_resize_scale(
     return out
 
 
-__all__ = ["have_native", "edt", "crop_resize_scale"]
+def batch_crop_resize_scale(
+    sources,
+    windows,
+    out_shape: Tuple[int, int],
+    in_low: float = 0.0,
+    in_high: float = 1.0,
+    data_min: float = 0.0,
+    data_max: float = 1.0,
+    n_threads: int = 4,
+) -> np.ndarray:
+    """Threaded batch of fused crop+resize+scale (one output per source).
+
+    ``sources``: list of 2-D float32 arrays; ``windows``: list of
+    (y1, y2, x1, x2). Falls back to a loop over :func:`crop_resize_scale`.
+    """
+    n = len(sources)
+    out_h, out_w = out_shape
+    lib = _load()
+    if lib is None:
+        return np.stack(
+            [
+                crop_resize_scale(
+                    s, w, out_shape, in_low, in_high, data_min, data_max
+                )
+                for s, w in zip(sources, windows)
+            ]
+        )
+    scale = (in_high - in_low) / max(data_max - data_min, 1e-12)
+    srcs = [np.ascontiguousarray(s, np.float32) for s in sources]
+    ptrs = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for s in srcs]
+    )
+    src_hw = np.asarray([[s.shape[0], s.shape[1]] for s in srcs], np.int32)
+    win = np.asarray(
+        [[y1, x1, y2 - y1, x2 - x1] for (y1, y2, x1, x2) in windows], np.int32
+    )
+    out = np.empty((n, out_h, out_w), np.float32)
+    lib.batch_crop_resize_scale(
+        ptrs,
+        src_hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        win.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_h,
+        out_w,
+        np.float32(data_min),
+        np.float32(scale),
+        np.float32(in_low),
+        n_threads,
+    )
+    return out
+
+
+__all__ = ["have_native", "edt", "crop_resize_scale", "batch_crop_resize_scale"]

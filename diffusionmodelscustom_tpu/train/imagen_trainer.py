@@ -210,4 +210,37 @@ class ImagenTrainer:
             self.states[int(key)] = s
 
 
-__all__ = ["ImagenTrainer", "ImagenTrainerConfig"]
+def load_imagen_from_checkpoint(
+    checkpoint_dir,
+    trainer: "ImagenTrainer",
+    *,
+    use_ema: bool = True,
+    rng=None,
+):
+    """Restore per-unet states saved as ``<dir>/unet<N>`` and optionally
+    promote EMA weights into the live params (the reference's
+    load_imagen_from_checkpoint EMA promotion, CascadedDDPM/utils.py:57-73).
+    Returns the trainer for chaining."""
+    from pathlib import Path
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from ..utils.checkpoint import restore_pytree
+
+    rng = _jax.random.key(0) if rng is None else rng
+    for i in range(trainer.num_unets):
+        template = trainer.init_unet(i + 1, _jax.random.fold_in(rng, i))
+        path = Path(checkpoint_dir) / f"unet{i + 1}"
+        if not path.exists():
+            continue
+        state = restore_pytree(
+            path, _jax.tree_util.tree_map(_jnp.zeros_like, template)
+        )
+        if use_ema and state.ema_params is not None:
+            state = state.replace(params=state.ema_params)
+        trainer.states[i] = state
+    return trainer
+
+
+__all__ = ["ImagenTrainer", "ImagenTrainerConfig", "load_imagen_from_checkpoint"]

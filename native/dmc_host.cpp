@@ -13,9 +13,11 @@
 // Build: make -C native    (g++ -O3 -shared -fPIC)
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <limits>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -171,6 +173,35 @@ void crop_resize_scale(const float* src, int src_h, int src_w,
       out[(size_t)oy * out_w + ox] = (acc - data_min) * scale + offset;
     }
   }
+}
+
+// Batched crop+resize+scale: processes n independent (source, window)
+// pairs in parallel with a thread pool — the data-loader batch-assembly
+// hot path. srcs: n pointers; windows: n*4 ints (y1, x1, crop_h, crop_w);
+// out: (n, out_h, out_w) contiguous.
+void batch_crop_resize_scale(const float** srcs, const int* src_hw,
+                             const int* windows, int n,
+                             float* out, int out_h, int out_w,
+                             float data_min, float scale, float offset,
+                             int n_threads) {
+  if (n_threads <= 0) n_threads = 4;
+  std::vector<std::thread> workers;
+  std::atomic<int> next{0};
+  auto work = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      crop_resize_scale(srcs[i], src_hw[2 * i], src_hw[2 * i + 1],
+                        windows[4 * i], windows[4 * i + 1],
+                        windows[4 * i + 2], windows[4 * i + 3],
+                        out + (size_t)i * out_h * out_w, out_h, out_w,
+                        data_min, scale, offset);
+    }
+  };
+  int nt = std::min(n_threads, n);
+  workers.reserve(nt);
+  for (int t = 0; t < nt; ++t) workers.emplace_back(work);
+  for (auto& w : workers) w.join();
 }
 
 }  // extern "C"
