@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["conditional", "unconditional", "lsm_topo", "uniform"],
     )
     p.add_argument("--sampler", type=str, default=None,
-                   choices=["ancestral", "ddim"])
+                   choices=["ancestral", "ddim", "dpmpp"])
     p.add_argument("--ddim_steps", type=int, default=None)
     p.add_argument("--use_ema", action="store_true", default=True)
     p.add_argument("--out_dir", type=str, default=None)
@@ -59,7 +59,7 @@ def main(argv=None) -> int:
         cfg = cfg.update({"diffusion.ddim_steps": args.ddim_steps})
 
     from ..core import GaussianDiffusion
-    from ..sampling import ancestral_sample, ddim_sample
+    from ..sampling import ancestral_sample, ddim_sample, dpmpp_2m_sample
     from ..train import Trainer, TrainerConfig
     from ..utils.checkpoint import CheckpointManager
 
@@ -125,6 +125,13 @@ def main(argv=None) -> int:
         shape = (b, size[0], size[1], cfg.unet.out_channels)
         if cfg.diffusion.sampler == "ddim":
             out = ddim_sample(
+                denoise, diffusion, sample_rng, shape,
+                num_steps=cfg.diffusion.ddim_steps,
+                uncond_fn=uncond if cfg.diffusion.cfg_scale > 0 else None,
+                cfg_scale=cfg.diffusion.cfg_scale,
+            )
+        elif cfg.diffusion.sampler == "dpmpp":
+            out = dpmpp_2m_sample(
                 denoise, diffusion, sample_rng, shape,
                 num_steps=cfg.diffusion.ddim_steps,
                 uncond_fn=uncond if cfg.diffusion.cfg_scale > 0 else None,

@@ -2,11 +2,13 @@
 
 from .ancestral import ancestral_sample, ddim_sample
 from .continuous import p_sample_loop_continuous
+from .dpm_solver import dpmpp_2m_sample
 from .edm import edm_sample
 
 __all__ = [
     "ancestral_sample",
     "ddim_sample",
+    "dpmpp_2m_sample",
     "edm_sample",
     "p_sample_loop_continuous",
 ]

@@ -73,7 +73,7 @@ class DiffusionConfig:
     beta_scheduler: str = "linear"  # linear | cosine | cosine_ramp
     noise_variance: float = 0.0  # >0 enables the data_scaled 0.005-style path
     cfg_scale: float = 0.0
-    sampler: str = "ancestral"  # ancestral | ddim
+    sampler: str = "ancestral"  # ancestral | ddim | dpmpp
     ddim_steps: int = 50
 
 

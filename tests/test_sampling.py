@@ -80,3 +80,24 @@ def test_cfg_path_changes_output():
         cfg_scale=2.0,
     )
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_dpmpp_2m_converges_with_perfect_denoiser():
+    from diffusionmodelscustom_tpu.sampling import dpmpp_2m_sample
+
+    diff = GaussianDiffusion.create(n_timesteps=1000)
+    c = 0.6
+
+    def denoise_fn(x, t):
+        ab = diff.alpha_bar[t].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(ab) * c) / jnp.sqrt(1 - ab)
+
+    out = dpmpp_2m_sample(
+        denoise_fn, diff, jax.random.key(0), (2, 8, 8, 1), num_steps=12
+    )
+    np.testing.assert_allclose(np.asarray(out), c, atol=2e-2)
+    # deterministic
+    out2 = dpmpp_2m_sample(
+        denoise_fn, diff, jax.random.key(0), (2, 8, 8, 1), num_steps=12
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
