@@ -57,12 +57,20 @@ def emit(metric, value, unit, vs_baseline):
     )
 
 
+def _sync(x):
+    """True device sync. On the axon remote backend block_until_ready
+    returns at dispatch; only a host fetch synchronizes with execution."""
+    import numpy as np
+
+    return np.asarray(jax.device_get(jnp.ravel(x)[:8]))
+
+
 def _time_sampler(sample_fn, batch):
     t0 = time.perf_counter()
-    jax.block_until_ready(sample_fn(jax.random.key(3)))
+    _sync(sample_fn(jax.random.key(3)))
     log(f"sample compile+first: {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
-    jax.block_until_ready(sample_fn(jax.random.key(4)))
+    _sync(sample_fn(jax.random.key(4)))
     dt = time.perf_counter() - t0
     sps = batch / dt
     log(f"sample: {dt:.2f}s for batch {batch} -> {sps:.3f} samples/s/chip")
@@ -157,13 +165,13 @@ def bench_cascade():
     out = cascade.sample(
         params, jax.random.key(2), batch_size=batch, text_embeds=te, text_mask=tm
     )
-    jax.block_until_ready(out)
+    _sync(out)
     log(f"cascade compile+first: {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
     out = cascade.sample(
         params, jax.random.key(5), batch_size=batch, text_embeds=te, text_mask=tm
     )
-    jax.block_until_ready(out)
+    _sync(out)
     dt = time.perf_counter() - t0
     sps = batch / dt
     log(f"cascade: {dt:.2f}s -> {sps:.3f} samples/s/chip (64->128, EDM 32 steps)")
@@ -187,13 +195,13 @@ def bench_train():
     state = trainer.init_state(rng, b)
     t0 = time.perf_counter()
     state, metrics = trainer.train_step(state, b, jax.random.key(1))
-    jax.block_until_ready(metrics["loss"])
+    _sync(metrics["loss"])
     log(f"train compile+first: {time.perf_counter() - t0:.2f}s")
     n = 10
     t0 = time.perf_counter()
     for i in range(n):
         state, metrics = trainer.train_step(state, b, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
+    _sync(metrics["loss"])
     sps = n / (time.perf_counter() - t0)
     log(f"train: {sps:.3f} steps/s ({sps * batch:.1f} img/s)")
     # A100 eager reference estimate: ~1.2 steps/s at batch 32 for the same

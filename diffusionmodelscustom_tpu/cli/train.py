@@ -232,7 +232,12 @@ def build_data(cfg, synthetic: bool):
         topo_full_domain=topo,
     )
     n = len(dataset)
-    loader = BatchLoader(dataset, cfg.training.batch_size, seed=cfg.training.seed)
+    loader = BatchLoader(
+        dataset,
+        cfg.training.batch_size,
+        seed=cfg.training.seed,
+        num_workers=cfg.data.num_workers,
+    )
     return dataset, loader
 
 
@@ -259,6 +264,8 @@ def main(argv=None) -> int:
         scheduler=cfg.diffusion.beta_scheduler,
         data_scaled=cfg.diffusion.noise_variance > 0,
     )
+    dataset, loader = build_data(cfg, args.synthetic)
+    steps_per_epoch = max(1, len(dataset) // cfg.training.batch_size)
     trainer = Trainer(
         model,
         diffusion,
@@ -276,10 +283,19 @@ def main(argv=None) -> int:
             if cfg.training.early_stopping
             else None,
             num_classes=cfg.unet.num_classes,
+            hybrid_alpha=cfg.training.hybrid_alpha,
+            hybrid_timesteps=cfg.training.hybrid_timesteps,
+            # LR scheduler plumbing (src/main_ddpm.py:376-409;
+            # plateau patience counted in epochs via accumulation_size)
+            lr_scheduler=cfg.training.lr_scheduler,
+            plateau_patience=cfg.training.plateau_patience,
+            plateau_factor=cfg.training.plateau_factor,
+            plateau_accumulation=steps_per_epoch,
+            min_lr_ratio=cfg.training.min_lr / max(cfg.training.lr, 1e-12),
+            warmup_steps=cfg.training.warmup_steps,
+            total_steps=cfg.training.epochs * steps_per_epoch,
         ),
     )
-
-    dataset, loader = build_data(cfg, args.synthetic)
     mesh = make_mesh(cfg.training.n_data_shards, cfg.training.n_model_shards)
     sharding = batch_sharding(mesh)
     print(

@@ -110,16 +110,29 @@ class EDMConfig:
         sigma_next: jnp.ndarray,
         gamma: jnp.ndarray,
         rng: jax.Array,
+        *,
+        inpaint_images: jnp.ndarray | None = None,
+        inpaint_masks: jnp.ndarray | None = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """One stochastic Heun step (elucidated_imagen.py:505-545).
 
         ``denoise_fn(x, sigma_batch)`` returns the *denoised* estimate
         (i.e. already preconditioned). Returns (next_images, x0_estimate).
+
+        With ``inpaint_images``/``inpaint_masks`` (mask 1 = known pixel),
+        the known region is substituted after the churn noise is added,
+        carrying the same churn-delta noise as the unknown region — the
+        reference's exact blend (elucidated_imagen.py:498-500).
         """
         eps = self.S_noise * jax.random.normal(rng, images.shape, images.dtype)
         sigma_hat = sigma + gamma * sigma
         added = jnp.sqrt(jnp.clip(sigma_hat**2 - sigma**2, 0.0, None))
         images_hat = images + added * eps
+        if inpaint_images is not None and inpaint_masks is not None:
+            m = inpaint_masks.astype(images_hat.dtype)
+            images_hat = images_hat * (1.0 - m) + (
+                inpaint_images.astype(images_hat.dtype) + added * eps
+            ) * m
 
         batch = images.shape[0]
         sig_hat_b = jnp.full((batch,), 1.0) * sigma_hat

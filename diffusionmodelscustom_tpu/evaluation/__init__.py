@@ -1,5 +1,6 @@
 """Evaluation: ocean-masked error metrics, CRPS, spatial statistics."""
 
+from .fid import fid, fid_from_features, frechet_distance
 from .metrics import (
     crps_ensemble,
     daily_errors,
@@ -15,6 +16,9 @@ from .metrics import (
 )
 
 __all__ = [
+    "fid",
+    "fid_from_features",
+    "frechet_distance",
     "crps_ensemble",
     "daily_errors",
     "evaluate_fields",

@@ -14,12 +14,22 @@ from .t5 import (
     t5_encode_text,
 )
 from .blocks import (
+    CosineSimAttention,
     CrossEmbedLayer,
     GlobalContext,
+    LinearAttention,
+    LinearCrossAttention,
     PerceiverResampler,
     PixelShuffleUpsample,
+    UpsampleCombiner,
 )
-from .unet3d import ImagenUNet3D, TemporalAttention, TemporalConv
+from .unet3d import (
+    ImagenUNet3D,
+    TemporalAttention,
+    TemporalConv,
+    TemporalDownsample,
+    TemporalPixelShuffleUpsample,
+)
 from .unet import (
     CrossAttention,
     ImagenUNet,
@@ -31,14 +41,20 @@ from .unet import (
 )
 
 __all__ = [
+    "CosineSimAttention",
     "CrossAttention",
     "CrossEmbedLayer",
     "GlobalContext",
+    "LinearAttention",
+    "LinearCrossAttention",
+    "UpsampleCombiner",
     "ImagenUNet3D",
     "PerceiverResampler",
     "PixelShuffleUpsample",
     "TemporalAttention",
     "TemporalConv",
+    "TemporalDownsample",
+    "TemporalPixelShuffleUpsample",
     "DEFAULT_T5_NAME",
     "ElucidatedImagen",
     "Imagen",

@@ -171,10 +171,258 @@ class GlobalContext(nn.Module):
         return nn.sigmoid(g)
 
 
+def _l2norm(t: jnp.ndarray) -> jnp.ndarray:
+    return t * jax.lax.rsqrt(
+        jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1, keepdims=True) + 1e-12
+    ).astype(t.dtype)
+
+
+class CosineSimAttention(nn.Module):
+    """Self-attention with cosine-similarity QK normalization
+    (the cascade's ``Attention``, imagen_pytorch.py:1171-1296).
+
+    Quirks kept: keys/values are SINGLE-head (shared across query heads,
+    'b j d' in the reference einsum); a learned null KV pair precedes real
+    keys; learnable per-dim q/k scales after l2 normalization; fixed logit
+    scale (default 8); optional extra context keys from ``to_context``.
+    """
+
+    dim_head: int = 64
+    heads: int = 8
+    context_dim: Optional[int] = None
+    scale: float = 8.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, N, C)
+        context: Optional[jnp.ndarray] = None,  # (B, L, context_dim)
+        mask: Optional[jnp.ndarray] = None,  # (B, N) over x's keys
+    ) -> jnp.ndarray:
+        b, n, c = x.shape
+        inner = self.dim_head * self.heads
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(
+            2 * self.dim_head, use_bias=False, dtype=self.dtype, name="to_kv"
+        )(x)
+        k, v = jnp.split(kv, 2, axis=-1)  # (B, N, D) single-head
+
+        null_kv = self.param(
+            "null_kv", nn.initializers.normal(1.0), (2, self.dim_head), jnp.float32
+        ).astype(self.dtype)
+        k = jnp.concatenate([jnp.broadcast_to(null_kv[0], (b, 1, self.dim_head)), k], 1)
+        v = jnp.concatenate([jnp.broadcast_to(null_kv[1], (b, 1, self.dim_head)), v], 1)
+
+        if context is not None:
+            ctx = nn.LayerNorm(dtype=self.dtype, name="context_norm")(context)
+            ckv = nn.Dense(
+                2 * self.dim_head, dtype=self.dtype, name="to_context"
+            )(ctx)
+            ck, cv = jnp.split(ckv, 2, axis=-1)
+            k = jnp.concatenate([ck, k], axis=1)
+            v = jnp.concatenate([cv, v], axis=1)
+
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        q = _l2norm(q) * self.param(
+            "q_scale", nn.initializers.ones, (self.dim_head,), jnp.float32
+        ).astype(self.dtype)
+        k = _l2norm(k) * self.param(
+            "k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32
+        ).astype(self.dtype)
+
+        sim = jnp.einsum("bihd,bjd->bhij", q, k) * self.scale
+        if mask is not None:
+            pad = k.shape[1] - mask.shape[1]
+            full = jnp.concatenate(
+                [jnp.ones((b, pad), bool), mask.astype(bool)], axis=1
+            )
+            sim = jnp.where(full[:, None, None, :], sim, jnp.float32(-1e9))
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhij,bjd->bihd", attn, v).reshape(b, n, inner)
+        out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_out")(out)
+        return nn.LayerNorm(dtype=self.dtype, name="out_norm")(out)
+
+
+class LinearAttention(nn.Module):
+    """O(N) self-attention over feature maps (imagen_pytorch.py:1881-1996):
+    1x1 + depthwise-3x3 projections, q softmax over features / k softmax
+    over positions, per-head d x e context matrix, SiLU then 1x1 out."""
+
+    dim_head: int = 32
+    heads: int = 8
+    context_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        fmap: jnp.ndarray,  # (B, H, W, C)
+        context: Optional[jnp.ndarray] = None,  # (B, L, context_dim)
+    ) -> jnp.ndarray:
+        b, hh, ww, c = fmap.shape
+        inner = self.dim_head * self.heads
+        scale = self.dim_head**-0.5
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(fmap)
+
+        def proj(name):
+            y = nn.Conv(
+                inner, (1, 1), use_bias=False, dtype=self.dtype, name=f"{name}_1x1"
+            )(h)
+            y = nn.Conv(
+                inner, (3, 3), padding=1, use_bias=False,
+                feature_group_count=inner, dtype=self.dtype, name=f"{name}_dw",
+            )(y)
+            return y.reshape(b, hh * ww, self.heads, self.dim_head)
+
+        q, k, v = proj("to_q"), proj("to_k"), proj("to_v")
+
+        if context is not None:
+            ckv = nn.Dense(
+                2 * inner, use_bias=False, dtype=self.dtype, name="to_context"
+            )(nn.LayerNorm(dtype=self.dtype, name="context_norm")(context))
+            ck, cv = jnp.split(ckv, 2, axis=-1)
+            ck = ck.reshape(b, -1, self.heads, self.dim_head)
+            cv = cv.reshape(b, -1, self.heads, self.dim_head)
+            k = jnp.concatenate([k, ck], axis=1)
+            v = jnp.concatenate([v, cv], axis=1)
+
+        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * scale
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1)
+        ctx = jnp.einsum("bnhd,bnhe->bhde", k, v.astype(jnp.float32))
+        out = jnp.einsum("bnhd,bhde->bnhe", q, ctx).astype(self.dtype)
+        out = nn.silu(out.reshape(b, hh, ww, inner))
+        out = nn.Conv(
+            c, (1, 1), use_bias=False, dtype=self.dtype, name="to_out"
+        )(out)
+        return nn.LayerNorm(dtype=self.dtype, name="out_norm")(out)
+
+
+class LinearCrossAttention(nn.Module):
+    """O(N) cross-attention to text tokens (imagen_pytorch.py:1807-1880):
+    same linear-attention math, keys/values from the context, learned null
+    KV, masked keys pushed to -inf before the position softmax."""
+
+    dim_head: int = 64
+    heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, N, C)
+        context: jnp.ndarray,  # (B, L, D)
+        mask: Optional[jnp.ndarray] = None,  # (B, L)
+    ) -> jnp.ndarray:
+        b, n, c = x.shape
+        inner = self.dim_head * self.heads
+        scale = self.dim_head**-0.5
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        context = nn.LayerNorm(dtype=self.dtype, name="context_norm")(context)
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(2 * inner, use_bias=False, dtype=self.dtype, name="to_kv")(
+            context
+        )
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        null_kv = self.param(
+            "null_kv", nn.initializers.normal(1.0), (2, self.dim_head), jnp.float32
+        ).astype(self.dtype)
+        nk = jnp.broadcast_to(null_kv[0], (b, 1, self.heads, self.dim_head))
+        nv = jnp.broadcast_to(null_kv[1], (b, 1, self.heads, self.dim_head))
+
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, -1, self.heads, self.dim_head)
+        v = v.reshape(b, -1, self.heads, self.dim_head)
+        k = jnp.concatenate([nk, k], axis=1)
+        v = jnp.concatenate([nv, v], axis=1)
+
+        if mask is not None:
+            full = jnp.concatenate(
+                [jnp.ones((b, 1), bool), mask.astype(bool)], axis=1
+            )[:, :, None, None]
+            k = jnp.where(full, k, jnp.asarray(-1e9, k.dtype))
+            v = jnp.where(full, v, jnp.zeros((), v.dtype))
+
+        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * scale
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1)
+        ctx = jnp.einsum("blhd,blhe->bhde", k, v.astype(jnp.float32))
+        out = jnp.einsum("bnhd,bhde->bnhe", q, ctx).astype(self.dtype)
+        out = out.reshape(b, n, inner)
+        return nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_out")(out)
+
+
+class ConvBlock(nn.Module):
+    """GroupNorm -> SiLU -> 3x3 conv (the cascade's plain ``Block``,
+    imagen_pytorch.py:1498-1540 without FiLM)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.GroupNorm(
+            num_groups=min(self.groups, x.shape[-1]), dtype=self.dtype, name="gn"
+        )(x)
+        h = nn.silu(h)
+        return nn.Conv(
+            self.dim_out, (3, 3), padding=1, dtype=self.dtype, name="conv"
+        )(h)
+
+
+class UpsampleCombiner(nn.Module):
+    """Fuse every decoder level's feature map into the final-resolution
+    features (imagen_pytorch.py:2278-2345): resize each fmap to the target
+    size, run it through a ConvBlock, concat to the trunk."""
+
+    dim: int
+    enabled: bool = False
+    dim_ins: Sequence[int] = ()
+    dim_outs: Sequence[int] | int = ()
+
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def dim_out(self) -> int:
+        if not self.enabled:
+            return self.dim
+        outs = self._dim_outs()
+        return self.dim + sum(outs)
+
+    def _dim_outs(self):
+        if isinstance(self.dim_outs, int):
+            return [self.dim_outs] * len(self.dim_ins)
+        return list(self.dim_outs)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, fmaps: Sequence[jnp.ndarray] = ()):
+        if not self.enabled or not fmaps or not self.dim_ins:
+            return x
+        from ...ops.resize import resize_image
+
+        target = x.shape[1]
+        outs = []
+        for i, (fmap, dim_out) in enumerate(zip(fmaps, self._dim_outs())):
+            if fmap.shape[1] != target:
+                fmap = resize_image(fmap, target, x.shape[2])
+            outs.append(
+                ConvBlock(dim_out, dtype=self.dtype, name=f"fmap_conv{i}")(fmap)
+            )
+        return jnp.concatenate([x, *outs], axis=-1)
+
+
 __all__ = [
     "PerceiverAttention",
     "PerceiverResampler",
     "CrossEmbedLayer",
     "PixelShuffleUpsample",
     "GlobalContext",
+    "CosineSimAttention",
+    "LinearAttention",
+    "LinearCrossAttention",
+    "ConvBlock",
+    "UpsampleCombiner",
 ]

@@ -479,12 +479,6 @@ class ElucidatedImagen(Imagen):
         inpaint_masks=None,
         inpaint_resample_times: int = 5,
     ) -> jnp.ndarray:
-        # EDM inpainting-by-resampling (elucidated_imagen.py:493-540) is
-        # not yet wired into the churn scan; fail loudly rather than
-        # silently ignoring the masks.
-        assert inpaint_images is None, (
-            "inpainting is currently supported on the DDPM cascade path only"
-        )
         unet = self.unets[unet_index]
         cfg = self.edm_configs[unet_index]
         size = self.image_sizes[unet_index]
@@ -519,7 +513,21 @@ class ElucidatedImagen(Imagen):
                 out = jnp.clip(out, -1.0, 1.0)
             return out
 
-        return edm_sample(denoise_fn, cfg, rng, shape, clamp=True)
+        # EDM inpainting-by-resampling (elucidated_imagen.py:455-463):
+        # normalize + resize the known image/mask into model space at this
+        # stage's resolution, then repaint inside the churn scan.
+        inpaint_kw = {}
+        if inpaint_images is not None and inpaint_masks is not None:
+            ip = inpaint_images
+            if self.auto_normalize_img:
+                ip = normalize_neg_one_to_one(ip)
+            inpaint_kw = dict(
+                inpaint_images=self._resize(ip, size),
+                inpaint_masks=self._resize(inpaint_masks.astype(jnp.float32), size),
+                resample_times=inpaint_resample_times,
+            )
+
+        return edm_sample(denoise_fn, cfg, rng, shape, clamp=True, **inpaint_kw)
 
 
 __all__ = [

@@ -42,8 +42,12 @@ from ...ops.resize import resize_image
 from .blocks import (
     CrossEmbedLayer,
     GlobalContext,
+    LinearAttention,
+    LinearCrossAttention,
     PerceiverResampler,
     PixelShuffleUpsample,
+    UpsampleCombiner,
+    _l2norm,
 )
 
 
@@ -111,6 +115,9 @@ class ResnetBlock(nn.Module):
     time_cond_dim: Optional[int] = None
     groups: int = 8
     use_global_context: bool = False
+    # O(N) cross-attention variant (imagen_pytorch.py:1807-1880) selected
+    # by the Unet's use_linear_cross_attn knob
+    linear_cross_attn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -152,9 +159,18 @@ class ResnetBlock(nn.Module):
         if context is not None and self.cond_dim is not None:
             b, hh, ww, cc = h.shape
             tokens = h.reshape(b, hh * ww, cc)
-            tokens = tokens + CrossAttention(
-                dtype=self.dtype, name="cross_attn"
-            )(nn.LayerNorm(dtype=self.dtype, name="cross_ln")(tokens), context, context_mask)
+            if self.linear_cross_attn:
+                tokens = tokens + LinearCrossAttention(
+                    dtype=self.dtype, name="cross_attn"
+                )(tokens, context, context_mask)
+            else:
+                tokens = tokens + CrossAttention(
+                    dtype=self.dtype, name="cross_attn"
+                )(
+                    nn.LayerNorm(dtype=self.dtype, name="cross_ln")(tokens),
+                    context,
+                    context_mask,
+                )
             h = tokens.reshape(b, hh, ww, cc)
 
         h = block(h, use_film=True, name="block2")
@@ -172,10 +188,17 @@ class ResnetBlock(nn.Module):
 
 
 class TransformerBlock(nn.Module):
-    """Self-attention + FF over image tokens (imagen_pytorch.py:2103-2160)."""
+    """Self-attention + FF over image tokens (imagen_pytorch.py:2103-2160).
+
+    ``cosine_sim_attn`` switches to the cascade Attention's QK treatment
+    (imagen_pytorch.py:1264-1270): l2-normalize q and k per head, apply
+    learnable per-dim scales, use a fixed logit scale (8). Realized by
+    pre-scaling q so the flash kernel's 1/sqrt(d) yields exactly 8."""
 
     n_heads: int = 8
     ff_mult: int = 2
+    cosine_sim_attn: bool = False
+    cosine_sim_scale: float = 8.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -190,7 +213,19 @@ class TransformerBlock(nn.Module):
         )
         q, k, v = jnp.split(qkv, 3, axis=-1)
         reshape = lambda t: t.reshape(b, h * w, self.n_heads, head_dim)
-        out = attention_core(reshape(q), reshape(k), reshape(v))
+        q, k, v = reshape(q), reshape(k), reshape(v)
+        if self.cosine_sim_attn:
+            q_scale = self.param(
+                "q_scale", nn.initializers.ones, (head_dim,), jnp.float32
+            ).astype(self.dtype)
+            k_scale = self.param(
+                "k_scale", nn.initializers.ones, (head_dim,), jnp.float32
+            ).astype(self.dtype)
+            q = _l2norm(q) * q_scale
+            k = _l2norm(k) * k_scale
+            # attention_core divides by sqrt(head_dim); fold in scale * sqrt(d)
+            q = q * (self.cosine_sim_scale * head_dim**0.5)
+        out = attention_core(q, k, v)
         out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn_out")(
             out.reshape(b, h * w, inner)
         )
@@ -220,12 +255,26 @@ class ImagenUNet(nn.Module):
     dim: int = 128
     dim_mults: Sequence[int] = (1, 2, 4)
     channels: int = 3
+    channels_out: Optional[int] = None  # defaults to channels
     cond_dim: Optional[int] = None  # defaults to dim
     text_embed_dim: int = 768
+    cond_on_text: bool = True
     num_resnet_blocks: int | Sequence[int] = 2
     layer_attns: Sequence[bool] = (False, True, True)
     layer_cross_attns: Sequence[bool] = (False, True, True)
     attn_heads: int = 8
+    # O(N) attention at levels without full attention / full cross-attn
+    # (imagen_pytorch.py:1807,1881; Unet knobs use_linear_attn/
+    # use_linear_cross_attn around :2370)
+    use_linear_attn: bool | Sequence[bool] = False
+    use_linear_cross_attn: bool | Sequence[bool] = False
+    # cosine-sim QK-normalized attention (imagen_pytorch.py:1171)
+    cosine_sim_attn: bool = False
+    # skip concat scaled by 2^-0.5 (imagen_pytorch.py:2602,3146)
+    scale_skip_connection: bool = False
+    # fuse all decoder-level fmaps at the final resolution
+    # (UpsampleCombiner, imagen_pytorch.py:2278,3155-3160)
+    combine_upsample_fmaps: bool = False
     lowres_cond: bool = False  # super-res stages concat the lowres image
     cond_images_channels: int = 0
     self_cond: bool = False
@@ -335,6 +384,8 @@ class ImagenUNet(nn.Module):
             )(lr_hid)
 
         # ---- text conditioning with CFG null embedding ------------------
+        if not self.cond_on_text:
+            text_embeds = None
         context = None
         if text_embeds is not None:
             text_tokens = nn.Dense(
@@ -416,6 +467,13 @@ class ImagenUNet(nn.Module):
             else list(self.num_resnet_blocks)
         )
 
+        def per_level(flag):
+            return [flag] * n_levels if isinstance(flag, bool) else list(flag)
+
+        linear_attns = per_level(self.use_linear_attn)
+        linear_cross = per_level(self.use_linear_cross_attn)
+        skip_scale = 2**-0.5 if self.scale_skip_connection else 1.0
+
         if self.use_cross_embed:
             h = CrossEmbedLayer(
                 dims[0], kernel_sizes=(3, 7, 15), dtype=self.dtype,
@@ -429,23 +487,32 @@ class ImagenUNet(nn.Module):
         skips = []
         for lvl in range(n_levels):
             use_cross = self.layer_cross_attns[lvl]
+            use_lin_cross = not use_cross and linear_cross[lvl]
             for bi in range(n_blocks[lvl]):
                 h = ResBlock(
                     dims[lvl],
-                    cond_dim=cond_dim if use_cross else None,
+                    cond_dim=cond_dim if (use_cross or use_lin_cross) else None,
                     time_cond_dim=time_cond_dim,
                     use_global_context=self.use_global_context,
+                    linear_cross_attn=use_lin_cross,
                     dtype=self.dtype,
                     name=f"down_{lvl}_res{bi}",
                 )(
                     h,
                     time_cond,
-                    context if use_cross else None,
-                    context_mask if use_cross else None,
+                    context if (use_cross or use_lin_cross) else None,
+                    context_mask if (use_cross or use_lin_cross) else None,
                 )
             if self.layer_attns[lvl]:
                 h = TransformerBlock(
-                    n_heads=self.attn_heads, dtype=self.dtype, name=f"down_{lvl}_attn"
+                    n_heads=self.attn_heads,
+                    cosine_sim_attn=self.cosine_sim_attn,
+                    dtype=self.dtype,
+                    name=f"down_{lvl}_attn",
+                )(h)
+            elif linear_attns[lvl]:
+                h = h + LinearAttention(
+                    dtype=self.dtype, name=f"down_{lvl}_linattn"
                 )(h)
             skips.append(h)
             if lvl < n_levels - 1:
@@ -467,7 +534,10 @@ class ImagenUNet(nn.Module):
             name="mid_res1",
         )(h, time_cond, context, context_mask)
         h = TransformerBlock(
-            n_heads=self.attn_heads, dtype=self.dtype, name="mid_attn"
+            n_heads=self.attn_heads,
+            cosine_sim_attn=self.cosine_sim_attn,
+            dtype=self.dtype,
+            name="mid_attn",
         )(h)
         h = ResnetBlock(
             dims[-1],
@@ -477,8 +547,10 @@ class ImagenUNet(nn.Module):
             name="mid_res2",
         )(h, time_cond, context, context_mask)
 
+        up_hiddens = []
         for lvl in reversed(range(n_levels)):
             use_cross = self.layer_cross_attns[lvl]
+            use_lin_cross = not use_cross and linear_cross[lvl]
             if lvl < n_levels - 1:
                 if self.pixel_shuffle_upsample:
                     h = PixelShuffleUpsample(
@@ -494,30 +566,82 @@ class ImagenUNet(nn.Module):
                         dtype=self.dtype,
                         name=f"up_{lvl}_upsample",
                     )(h)
-            h = jnp.concatenate([h, skips[lvl]], axis=-1)
+            h = jnp.concatenate([h, skips[lvl] * skip_scale], axis=-1)
             for bi in range(n_blocks[lvl]):
                 h = ResBlock(
                     dims[lvl],
-                    cond_dim=cond_dim if use_cross else None,
+                    cond_dim=cond_dim if (use_cross or use_lin_cross) else None,
                     time_cond_dim=time_cond_dim,
                     use_global_context=self.use_global_context,
+                    linear_cross_attn=use_lin_cross,
                     dtype=self.dtype,
                     name=f"up_{lvl}_res{bi}",
                 )(
                     h,
                     time_cond,
-                    context if use_cross else None,
-                    context_mask if use_cross else None,
+                    context if (use_cross or use_lin_cross) else None,
+                    context_mask if (use_cross or use_lin_cross) else None,
                 )
             if self.layer_attns[lvl]:
                 h = TransformerBlock(
-                    n_heads=self.attn_heads, dtype=self.dtype, name=f"up_{lvl}_attn"
+                    n_heads=self.attn_heads,
+                    cosine_sim_attn=self.cosine_sim_attn,
+                    dtype=self.dtype,
+                    name=f"up_{lvl}_attn",
                 )(h)
+            elif linear_attns[lvl]:
+                h = h + LinearAttention(
+                    dtype=self.dtype, name=f"up_{lvl}_linattn"
+                )(h)
+            up_hiddens.append(h)
+
+        if self.combine_upsample_fmaps:
+            # decoder fmaps were appended coarsest-first; last is full-res
+            h = UpsampleCombiner(
+                dim=dims[0],
+                enabled=True,
+                dim_ins=tuple(x.shape[-1] for x in up_hiddens[:-1]),
+                dim_outs=self.dim,
+                dtype=self.dtype,
+                name="upsample_combiner",
+            )(h, up_hiddens[:-1])
 
         out = nn.Conv(
-            self.channels, (3, 3), padding=1, dtype=jnp.float32, name="final_conv"
+            self.channels_out or self.channels,
+            (3, 3),
+            padding=1,
+            dtype=jnp.float32,
+            name="final_conv",
         )(h.astype(jnp.float32))
         return out.astype(in_dtype)
+
+    def cast_model_parameters(
+        self,
+        *,
+        lowres_cond: bool,
+        text_embed_dim: int,
+        channels: int,
+        channels_out: Optional[int],
+        cond_on_text: bool,
+    ) -> "ImagenUNet":
+        """Return this unet re-configured for a different cascade slot
+        (imagen_pytorch.py:2760-2803): identity when nothing changes,
+        otherwise a clone with the new conditioning surface."""
+        if (
+            lowres_cond == self.lowres_cond
+            and text_embed_dim == self.text_embed_dim
+            and channels == self.channels
+            and channels_out == self.channels_out
+            and cond_on_text == self.cond_on_text
+        ):
+            return self
+        return self.clone(
+            lowres_cond=lowres_cond,
+            text_embed_dim=text_embed_dim,
+            channels=channels,
+            channels_out=channels_out,
+            cond_on_text=cond_on_text,
+        )
 
 
 def base_unet_64(**overrides) -> ImagenUNet:
@@ -560,6 +684,9 @@ class NullUnet:
 
     def apply(self, variables, x, *a, **k):
         return x
+
+    def cast_model_parameters(self, *a, **k):
+        return self  # imagen_pytorch.py:3215-3220
 
 
 __all__ = [

@@ -107,6 +107,63 @@ class TemporalAttention(nn.Module):
         return tokens.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
 
 
+class TemporalPixelShuffleUpsample(nn.Module):
+    """Frame-count upsampling by channel-to-frame shuffle
+    (imagen_video.py:645-676): per-pixel 1-D conv to C*stride channels,
+    SiLU, then interleave the factor into the frame axis. The conv kernel
+    is kaiming-initialized once and replicated across the shuffle factor
+    (anti-checkerboard, same trick as the spatial PixelShuffleUpsample)."""
+
+    channels: int
+    stride: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, f, h, w, c = x.shape
+        stride = self.stride
+
+        def repeated_kaiming(key, shape, dtype=jnp.float32):
+            k, cin, cout_s = shape
+            base = nn.initializers.he_uniform()(key, (k, cin, cout_s // stride), dtype)
+            return jnp.repeat(base, stride, axis=-1)  # 'o -> (o r)'
+
+        tokens = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        y = nn.Conv(
+            self.channels * stride,
+            (1,),
+            kernel_init=repeated_kaiming,
+            dtype=self.dtype,
+            name="conv",
+        )(tokens)
+        y = nn.silu(y)
+        # (N, F, (c r)) -> (N, (F r), c): channel-major split, frame-major merge
+        y = y.reshape(-1, f, self.channels, stride)
+        y = y.transpose(0, 1, 3, 2).reshape(-1, f * stride, self.channels)
+        return y.reshape(b, h, w, f * stride, self.channels).transpose(0, 3, 1, 2, 4)
+
+
+class TemporalDownsample(nn.Module):
+    """Frame-count downsampling by frame-to-channel fold + 1x1 conv
+    (imagen_video.py:677-683): 'b c (f p) h w -> b (c p) f h w' then conv."""
+
+    channels: int
+    stride: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, f, h, w, c = x.shape
+        assert f % self.stride == 0, "frame count must divide temporal stride"
+        y = x.reshape(b, f // self.stride, self.stride, h, w, c)
+        y = y.transpose(0, 1, 3, 4, 5, 2).reshape(
+            b, f // self.stride, h, w, c * self.stride
+        )
+        flat, bf = fold_frames(y)
+        flat = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="conv")(flat)
+        return unfold_frames(flat, bf)
+
+
 class ImagenUNet3D(nn.Module):
     """Video-stage UNet with the ImagenUNet conditioning surface.
 
@@ -122,6 +179,10 @@ class ImagenUNet3D(nn.Module):
     layer_attns: Sequence[bool] = (False, True, True)
     layer_cross_attns: Sequence[bool] = (False, True, True)
     temporal_attns: Sequence[bool] = (True, True, True)
+    # per-level frame-count stride (imagen_video.py temporal_downsample_factor):
+    # level i > 1 downsamples frames by that factor on the way down and
+    # pixel-shuffle-upsamples them back on the way up
+    temporal_strides: Sequence[int] = ()
     attn_heads: int = 4
     lowres_cond: bool = False
     self_cond: bool = False
@@ -142,8 +203,14 @@ class ImagenUNet3D(nn.Module):
         lowres_noise_cond: Optional[jnp.ndarray] = None,
         cond_images: Optional[jnp.ndarray] = None,
         self_cond: Optional[jnp.ndarray] = None,
+        ignore_time: bool = False,
         train: bool = False,
     ) -> jnp.ndarray:
+        """``ignore_time=True`` (static) skips every cross-frame op so each
+        frame is processed as an independent image — the reference's
+        ignore_time pathway for training a video net on still images
+        (imagen_video.py Conv3d/attention ignore_time plumbing). Initialize
+        with ignore_time=False so temporal parameters exist."""
         del train, cond_images
         b, f, h_in, w_in, _ = x.shape
         in_dtype = x.dtype
@@ -221,26 +288,41 @@ class ImagenUNet3D(nn.Module):
             context = nn.LayerNorm(dtype=self.dtype, name="context_ln")(text_tokens)
             context_mask = text_mask
 
-        # frame-folded conditioning tensors
-        time_cond_f = jnp.repeat(time_cond, f, axis=0)
-        context_f = jnp.repeat(context, f, axis=0) if context is not None else None
-        context_mask_f = (
-            jnp.repeat(context_mask, f, axis=0) if context_mask is not None else None
-        )
+        # frame-folded conditioning tensors, recomputed per level because
+        # temporal strides change the frame count down the pyramid
+        def folded_cond(f_now: int):
+            tc = jnp.repeat(time_cond, f_now, axis=0)
+            cf = (
+                jnp.repeat(context, f_now, axis=0) if context is not None else None
+            )
+            cm = (
+                jnp.repeat(context_mask, f_now, axis=0)
+                if context_mask is not None
+                else None
+            )
+            return tc, cf, cm
 
         dims = [self.dim * m for m in self.dim_mults]
         n_levels = len(dims)
+        t_strides = (
+            list(self.temporal_strides)
+            if self.temporal_strides
+            else [1] * n_levels
+        )
+        assert len(t_strides) == n_levels
 
         flat, bf = fold_frames(hx)
         flat = nn.Conv(dims[0], (7, 7), padding=3, dtype=self.dtype, name="init_conv")(
             flat
         )
         hx = unfold_frames(flat, bf)
-        hx = TemporalConv(dims[0], dtype=self.dtype, name="init_temporal")(hx)
+        if not ignore_time:
+            hx = TemporalConv(dims[0], dtype=self.dtype, name="init_temporal")(hx)
 
         skips = []
         for lvl in range(n_levels):
             use_cross = self.layer_cross_attns[lvl]
+            tc_f, ctx_f, cm_f = folded_cond(hx.shape[1])
             flat, bf = fold_frames(hx)
             for bi in range(self.num_resnet_blocks):
                 flat = ResnetBlock(
@@ -251,20 +333,25 @@ class ImagenUNet3D(nn.Module):
                     name=f"down_{lvl}_res{bi}",
                 )(
                     flat,
-                    time_cond_f,
-                    context_f if use_cross else None,
-                    context_mask_f if use_cross else None,
+                    tc_f,
+                    ctx_f if use_cross else None,
+                    cm_f if use_cross else None,
                 )
             if self.layer_attns[lvl]:
                 flat = TransformerBlock(
                     n_heads=self.attn_heads, dtype=self.dtype, name=f"down_{lvl}_attn"
                 )(flat)
             hx = unfold_frames(flat, bf)
-            hx = TemporalConv(dims[lvl], dtype=self.dtype, name=f"down_{lvl}_tconv")(hx)
-            if self.temporal_attns[lvl]:
-                hx = TemporalAttention(
-                    n_heads=self.attn_heads, dtype=self.dtype, name=f"down_{lvl}_tattn"
+            if not ignore_time:
+                hx = TemporalConv(
+                    dims[lvl], dtype=self.dtype, name=f"down_{lvl}_tconv"
                 )(hx)
+                if self.temporal_attns[lvl]:
+                    hx = TemporalAttention(
+                        n_heads=self.attn_heads,
+                        dtype=self.dtype,
+                        name=f"down_{lvl}_tattn",
+                    )(hx)
             skips.append(hx)
             if lvl < n_levels - 1:
                 flat, bf = fold_frames(hx)
@@ -277,7 +364,15 @@ class ImagenUNet3D(nn.Module):
                     name=f"down_{lvl}_downsample",
                 )(flat)
                 hx = unfold_frames(flat, bf)
+                if t_strides[lvl + 1] > 1:
+                    hx = TemporalDownsample(
+                        dims[lvl + 1],
+                        stride=t_strides[lvl + 1],
+                        dtype=self.dtype,
+                        name=f"down_{lvl}_tdown",
+                    )(hx)
 
+        tc_f, ctx_f, cm_f = folded_cond(hx.shape[1])
         flat, bf = fold_frames(hx)
         flat = ResnetBlock(
             dims[-1],
@@ -285,22 +380,30 @@ class ImagenUNet3D(nn.Module):
             time_cond_dim=time_cond_dim,
             dtype=self.dtype,
             name="mid_res1",
-        )(flat, time_cond_f, context_f, context_mask_f)
+        )(flat, tc_f, ctx_f, cm_f)
         flat = ResnetBlock(
             dims[-1],
             cond_dim=cond_dim,
             time_cond_dim=time_cond_dim,
             dtype=self.dtype,
             name="mid_res2",
-        )(flat, time_cond_f, context_f, context_mask_f)
+        )(flat, tc_f, ctx_f, cm_f)
         hx = unfold_frames(flat, bf)
-        hx = TemporalAttention(
-            n_heads=self.attn_heads, dtype=self.dtype, name="mid_tattn"
-        )(hx)
+        if not ignore_time:
+            hx = TemporalAttention(
+                n_heads=self.attn_heads, dtype=self.dtype, name="mid_tattn"
+            )(hx)
 
         for lvl in reversed(range(n_levels)):
             use_cross = self.layer_cross_attns[lvl]
             if lvl < n_levels - 1:
+                if t_strides[lvl + 1] > 1:
+                    hx = TemporalPixelShuffleUpsample(
+                        dims[lvl + 1],
+                        stride=t_strides[lvl + 1],
+                        dtype=self.dtype,
+                        name=f"up_{lvl}_tup",
+                    )(hx)
                 flat, bf = fold_frames(hx)
                 b_, hh, ww, _ = flat.shape
                 flat = resize_image(flat, hh * 2, ww * 2, method="nearest")
@@ -310,6 +413,7 @@ class ImagenUNet3D(nn.Module):
                 )(flat)
                 hx = unfold_frames(flat, bf)
             hx = jnp.concatenate([hx, skips[lvl]], axis=-1)
+            tc_f, ctx_f, cm_f = folded_cond(hx.shape[1])
             flat, bf = fold_frames(hx)
             for bi in range(self.num_resnet_blocks):
                 flat = ResnetBlock(
@@ -320,16 +424,21 @@ class ImagenUNet3D(nn.Module):
                     name=f"up_{lvl}_res{bi}",
                 )(
                     flat,
-                    time_cond_f,
-                    context_f if use_cross else None,
-                    context_mask_f if use_cross else None,
+                    tc_f,
+                    ctx_f if use_cross else None,
+                    cm_f if use_cross else None,
                 )
             hx = unfold_frames(flat, bf)
-            hx = TemporalConv(dims[lvl], dtype=self.dtype, name=f"up_{lvl}_tconv")(hx)
-            if self.temporal_attns[lvl]:
-                hx = TemporalAttention(
-                    n_heads=self.attn_heads, dtype=self.dtype, name=f"up_{lvl}_tattn"
+            if not ignore_time:
+                hx = TemporalConv(
+                    dims[lvl], dtype=self.dtype, name=f"up_{lvl}_tconv"
                 )(hx)
+                if self.temporal_attns[lvl]:
+                    hx = TemporalAttention(
+                        n_heads=self.attn_heads,
+                        dtype=self.dtype,
+                        name=f"up_{lvl}_tattn",
+                    )(hx)
 
         flat, bf = fold_frames(hx)
         out = nn.Conv(
@@ -338,4 +447,12 @@ class ImagenUNet3D(nn.Module):
         return unfold_frames(out, bf).astype(in_dtype)
 
 
-__all__ = ["ImagenUNet3D", "TemporalConv", "TemporalAttention", "fold_frames", "unfold_frames"]
+__all__ = [
+    "ImagenUNet3D",
+    "TemporalConv",
+    "TemporalAttention",
+    "TemporalDownsample",
+    "TemporalPixelShuffleUpsample",
+    "fold_frames",
+    "unfold_frames",
+]

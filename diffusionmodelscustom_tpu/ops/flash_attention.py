@@ -31,10 +31,13 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, sm_scale: float
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, sm_scale: float
 ):
     """Grid (bh, q_blocks, k_blocks); the k dimension is sequential
-    ("arbitrary") and carries the online-softmax state in VMEM scratch."""
+    ("arbitrary") and carries the online-softmax state in VMEM scratch.
+    Also emits the per-row logsumexp (LSE) so the backward can recompute
+    softmax weights without a second online pass."""
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -44,16 +47,19 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)  # (BK, D)
-    v = v_ref[0].astype(jnp.float32)  # (BK, D)
+    # matmul inputs stay in the arrival dtype (bf16 in training) — the MXU
+    # runs bf16 at full rate with f32 accumulation via
+    # preferred_element_type; casting to f32 first quarters throughput
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    v = v_ref[0]  # (BK, D)
 
-    s = jax.lax.dot_general(
+    s = sm_scale * jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BQ, BK)
+    )  # (BQ, BK) f32
 
     m_prev = m_scr[:]  # (BQ, 1)
     l_prev = l_scr[:]
@@ -63,7 +69,7 @@ def _flash_kernel(
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p,
+        p.astype(v.dtype),
         v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -74,6 +80,10 @@ def _flash_kernel(
     @pl.when(kb == nk - 1)
     def _finalize():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        # LSE is per-row but TPU blocks need a 128-lane last dim; replicate
+        # across lanes (the backward reads lane 0)
+        lse = m_scr[:] + jnp.log(l_scr[:])  # (BQ, 1)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _flash_bhsd(
@@ -82,8 +92,12 @@ def _flash_bhsd(
     v: jnp.ndarray,
     block_q: int,
     block_k: int,
-) -> jnp.ndarray:
-    """Flash attention on (BH, S, D) slabs; S divisible by both block sizes."""
+):
+    """Flash attention on (BH, S, D) slabs; S divisible by both block sizes.
+
+    Returns (out, lse): lse is the per-row logsumexp (BH, S) consumed by
+    the Pallas backward kernels.
+    """
     bh, s, d = q.shape
     sm_scale = d ** -0.5  # scale by the *unpadded* head dim
 
@@ -93,7 +107,7 @@ def _flash_bhsd(
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
 
     grid = (bh, s // block_q, s // block_k)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, sm_scale=sm_scale),
         grid=grid,
         in_specs=[
@@ -101,8 +115,14 @@ def _flash_bhsd(
             pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0)),
             pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, kb: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, s, d_pad), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda i, j, kb: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((bh, s, 128), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),  # running max
             pltpu.VMEM((block_q, 1), jnp.float32),  # running sum
@@ -112,7 +132,157 @@ def _flash_bhsd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(q, k, v)
-    return out[:, :, :d]
+    return out[:, :, :d], lse
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr, *, sm_scale: float
+):
+    """Grid (bh, k_blocks, q_blocks); q sequential, accumulating dK/dV for
+    one K/V block. Softmax weights are recomputed from the saved LSE —
+    no O(S^2) residual ever exists (FlashAttention backward, dK/dV half)."""
+    jq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(jq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]  # (BQ, D) — bf16 inputs feed the MXU directly
+    k = k_ref[0]  # (BK, D)
+    v = v_ref[0]
+    do = do_ref[0]  # (BQ, D)
+    lse = lse_ref[0][:, :1]  # (BQ, 1) — lane-replicated input
+    delta = delta_ref[0][:, :1]  # (BQ, 1)
+
+    s = sm_scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, BK) f32
+    p = jnp.exp(s - lse)
+    p_lo = p.astype(v.dtype)
+    # dV += P^T dO
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dP = dO V^T ; dS = P * (dP - delta) * scale
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+    # dK += dS^T Q
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(jq == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+    *, sm_scale: float
+):
+    """Grid (bh, q_blocks, k_blocks); k sequential, accumulating dQ for one
+    Q block (FlashAttention backward, dQ half)."""
+    jk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(jk == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    s = sm_scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(jk == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_bhsd(q, k, v, o, lse, g, block_q: int, block_k: int):
+    """Pallas flash backward on (BH, S, D) slabs -> (dq, dk, dv)."""
+    bh, s, d = q.shape
+    sm_scale = d ** -0.5
+    # delta_i = rowsum(dO * O): tiny elementwise+reduce, XLA fuses it.
+    # Lane-replicated to 128 to satisfy TPU block tiling (as lse is).
+    delta = jnp.broadcast_to(
+        jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)[..., None],
+        (bh, s, 128),
+    )
+
+    d_pad = max(128, ((d + 127) // 128) * 128)
+    if d_pad != d:
+        pad = [(0, 0), (0, 0), (0, d_pad - d)]
+        q, k, v, g = (jnp.pad(x, pad) for x in (q, k, v, g))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, sm_scale=sm_scale),
+        grid=(bh, s // block_k, s // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, jk, jq: (i, jq, 0)),  # q
+            pl.BlockSpec((1, block_k, d_pad), lambda i, jk, jq: (i, jk, 0)),  # k
+            pl.BlockSpec((1, block_k, d_pad), lambda i, jk, jq: (i, jk, 0)),  # v
+            pl.BlockSpec((1, block_q, d_pad), lambda i, jk, jq: (i, jq, 0)),  # do
+            pl.BlockSpec((1, block_q, 128), lambda i, jk, jq: (i, jq, 0)),  # lse
+            pl.BlockSpec((1, block_q, 128), lambda i, jk, jq: (i, jq, 0)),  # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d_pad), lambda i, jk, jq: (i, jk, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, jk, jq: (i, jk, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((bh, s, d_pad), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, g, lse, delta)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, sm_scale=sm_scale),
+        grid=(bh, s // block_q, s // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, jq, jk: (i, jq, 0)),  # q
+            pl.BlockSpec((1, block_k, d_pad), lambda i, jq, jk: (i, jk, 0)),  # k
+            pl.BlockSpec((1, block_k, d_pad), lambda i, jq, jk: (i, jk, 0)),  # v
+            pl.BlockSpec((1, block_q, d_pad), lambda i, jq, jk: (i, jq, 0)),  # do
+            pl.BlockSpec((1, block_q, 128), lambda i, jq, jk: (i, jq, 0)),  # lse
+            pl.BlockSpec((1, block_q, 128), lambda i, jq, jk: (i, jq, 0)),  # delta
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, jq, jk: (i, jq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, g, lse, delta)
+
+    return dq[:, :, :d], dk[:, :, :d], dv[:, :, :d]
 
 
 def _reference_attention(q, k, v):
@@ -123,60 +293,24 @@ def _reference_attention(q, k, v):
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
-def _chunked_backward(q, k, v, g, block_q: int):
-    """Recomputation backward on (BH, S, D) slabs, scanned over q blocks.
-
-    Standard flash-attention gradient with per-chunk softmax recompute —
-    peak memory is O(block_q * S) instead of O(S^2), and every contraction
-    is an MXU matmul. All math in f32 for stable softmax gradients.
-    """
-    qf, kf, vf, gf = (x.astype(jnp.float32) for x in (q, k, v, g))
-    scale = q.shape[-1] ** -0.5
-    qs = qf * scale
-    bh, s, d = qf.shape
-    nq = s // block_q
-
-    q_chunks = qs.reshape(bh, nq, block_q, d).transpose(1, 0, 2, 3)
-    g_chunks = gf.reshape(bh, nq, block_q, d).transpose(1, 0, 2, 3)
-
-    def body(carry, chunk):
-        dk_acc, dv_acc = carry
-        q_blk, g_blk = chunk  # (BH, BQ, D)
-        logits = jnp.einsum("bqd,bkd->bqk", q_blk, kf)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / l  # softmax weights (BH, BQ, S)
-        dv_acc = dv_acc + jnp.einsum("bqk,bqd->bkd", p, g_blk)
-        dp = jnp.einsum("bqd,bkd->bqk", g_blk, vf)
-        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = p * (dp - delta)
-        dq_blk = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
-        dk_acc = dk_acc + jnp.einsum("bqk,bqd->bkd", ds, q_blk)
-        return (dk_acc, dv_acc), dq_blk
-
-    (dk, dv), dq_chunks = jax.lax.scan(
-        body,
-        (jnp.zeros_like(kf), jnp.zeros_like(vf)),
-        (q_chunks, g_chunks),
-    )
-    dq = dq_chunks.transpose(1, 0, 2, 3).reshape(bh, s, d)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_slab(q, k, v, block_q: int, block_k: int):
-    return _flash_bhsd(q, k, v, block_q, block_k)
+    out, _lse = _flash_bhsd(q, k, v, block_q, block_k)
+    return out
 
 
 def _flash_slab_fwd(q, k, v, block_q: int, block_k: int):
-    out = _flash_bhsd(q, k, v, block_q, block_k)
-    return out, (q, k, v)
+    out, lse = _flash_bhsd(q, k, v, block_q, block_k)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_slab_bwd(block_q: int, block_k: int, res, g):
-    q, k, v = res
-    return _chunked_backward(q, k, v, g, block_q)
+    q, k, v, o, lse = res
+    # Fused Pallas backward (dKV + dQ kernels). Round 1 used a jnp scan
+    # that materialized (BH, BQ, S) f32 logits per chunk in HBM — measured
+    # 142 ms fwd+bwd at (B32, S4096, H4, D32) vs ~19 ms forward alone;
+    # the kernels keep everything in VMEM.
+    return _flash_bwd_bhsd(q, k, v, o, lse, g, block_q, block_k)
 
 
 _flash_slab.defvjp(_flash_slab_fwd, _flash_slab_bwd)

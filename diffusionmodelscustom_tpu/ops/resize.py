@@ -60,4 +60,22 @@ def pixel_shuffle(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     return x.reshape(b, h * r, w * r, c_out)
 
 
-__all__ = ["resize_image", "upsample_2x", "pixel_shuffle"]
+def resize_video(
+    x: jnp.ndarray,
+    frames: int,
+    height: int,
+    width: int,
+    method: str = "bilinear",
+) -> jnp.ndarray:
+    """Resize (B, F, H, W, C) video in frame count AND spatial size — the
+    cascade's resize_video_to used to retime lowres conditioning videos
+    between stages (CascadedDDPM/imagen_video.py frame-count resizing)."""
+    import jax
+
+    b, f, h, w, c = x.shape
+    if (f, h, w) == (frames, height, width):
+        return x
+    return jax.image.resize(x, (b, frames, height, width, c), method=method)
+
+
+__all__ = ["resize_image", "upsample_2x", "pixel_shuffle", "resize_video"]

@@ -48,6 +48,14 @@ class ImagenTrainerConfig:
     ema_decay: float = 0.995
     warmup_steps: Optional[int] = None
     cosine_decay_max_steps: Optional[int] = None
+    # persistence (trainer.py:322-336,712-753): periodic checkpoints into a
+    # folder with oldest-first rotation
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: Optional[int] = None
+    max_checkpoints_keep: int = 3
+    # exclusive-stage lock (trainer.py:520-558): when set, train_step on
+    # any other unet raises
+    only_train_unet: Optional[int] = None
 
 
 class ImagenTrainer:
@@ -66,6 +74,15 @@ class ImagenTrainer:
         self.states: Dict[int, TrainState] = {}
         self._train_steps: Dict[int, Any] = {}
         self.num_unets = len(imagen.unets)
+        self._train_dl = None
+        self._valid_dl = None
+        self._train_iter = None
+        self._valid_iter = None
+        if config.checkpoint_path is not None:
+            # resume automatically when the folder already holds checkpoints
+            # (the reference's load_from_checkpoint_folder-on-init,
+            # trainer.py:329-336)
+            self.load_from_checkpoint_folder(missing_ok=True)
 
     # -- state management --------------------------------------------------
 
@@ -138,10 +155,46 @@ class ImagenTrainer:
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    # -- managed dataloaders (trainer.py:682-711) ---------------------------
+
+    def add_train_dataloader(self, loader) -> None:
+        """Attach a re-iterable loader; ``train_step`` without images pulls
+        batches from it, cycling across epochs (step_with_dl_iter)."""
+        self._train_dl = loader
+        self._train_iter = iter(loader)
+
+    def add_valid_dataloader(self, loader) -> None:
+        self._valid_dl = loader
+        self._valid_iter = iter(loader)
+
+    def _next_batch(self, which: str):
+        dl = self._train_dl if which == "train" else self._valid_dl
+        if dl is None:
+            raise ValueError(
+                f"no images given and no {which} dataloader attached; call "
+                f"add_{which}_dataloader first (trainer.py:682-711 contract)"
+            )
+        it_attr = "_train_iter" if which == "train" else "_valid_iter"
+        try:
+            batch = next(getattr(self, it_attr))
+        except StopIteration:
+            setattr(self, it_attr, iter(dl))
+            batch = next(getattr(self, it_attr))
+        if isinstance(batch, dict):
+            return (
+                batch["images"],
+                batch.get("text_embeds"),
+                batch.get("text_mask"),
+            )
+        if isinstance(batch, (tuple, list)):
+            padded = list(batch) + [None, None]
+            return padded[0], padded[1], padded[2]
+        return batch, None, None
+
     def train_step(
         self,
         unet_number: int,
-        images: jnp.ndarray,
+        images: Optional[jnp.ndarray] = None,
         *,
         text_embeds: Optional[jnp.ndarray] = None,
         text_mask: Optional[jnp.ndarray] = None,
@@ -149,7 +202,19 @@ class ImagenTrainer:
     ) -> float:
         """One optimization step on one cascade stage; returns the loss
         (the reference's trainer.train_step contract,
-        trainer.py:682-711)."""
+        trainer.py:682-711). With no ``images``, pulls from the managed
+        train dataloader. Periodically checkpoints when
+        ``checkpoint_every`` is set (trainer.py:1012-1023)."""
+        cfg = self.config
+        if cfg.only_train_unet is not None and unet_number != cfg.only_train_unet:
+            raise ValueError(
+                f"trainer is locked to unet {cfg.only_train_unet} "
+                f"(only_train_unet, trainer.py:520-558); got {unet_number}"
+            )
+        if images is None:
+            images, dl_embeds, dl_mask = self._next_batch("train")
+            text_embeds = text_embeds if text_embeds is not None else dl_embeds
+            text_mask = text_mask if text_mask is not None else dl_mask
         idx = unet_number - 1
         rng = jax.random.key(0) if rng is None else rng
         state = self.init_unet(unet_number, rng)
@@ -159,17 +224,27 @@ class ImagenTrainer:
             state, images, text_embeds, text_mask, rng
         )
         self.states[idx] = new_state
+        if (
+            cfg.checkpoint_every is not None
+            and cfg.checkpoint_path is not None
+            and self.num_steps_taken(unet_number) % cfg.checkpoint_every == 0
+        ):
+            self.save_to_checkpoint_folder()
         return float(jax.device_get(loss))
 
     def valid_step(
         self,
         unet_number: int,
-        images: jnp.ndarray,
+        images: Optional[jnp.ndarray] = None,
         *,
         text_embeds=None,
         text_mask=None,
         rng: Optional[jax.Array] = None,
     ) -> float:
+        if images is None:
+            images, dl_embeds, dl_mask = self._next_batch("valid")
+            text_embeds = text_embeds if text_embeds is not None else dl_embeds
+            text_mask = text_mask if text_mask is not None else dl_mask
         idx = unet_number - 1
         rng = jax.random.key(1) if rng is None else rng
         state = self.init_unet(unet_number, rng)
@@ -208,6 +283,54 @@ class ImagenTrainer:
     def load_state_dict(self, states: Dict[str, Any]) -> None:
         for key, s in states.items():
             self.states[int(key)] = s
+
+    def save_to_checkpoint_folder(self, folder=None) -> "Path":
+        """Write ``<folder>/ckpt_<steps>/unet<N>`` for every initialized
+        stage and rotate old checkpoints down to ``max_checkpoints_keep``
+        (trainer.py:712-753's checkpoint_every/max_checkpoints_keep)."""
+        import shutil
+        from pathlib import Path
+
+        from ..utils.checkpoint import save_pytree
+
+        folder = Path(folder or self.config.checkpoint_path)
+        folder.mkdir(parents=True, exist_ok=True)
+        steps = max(
+            (self.num_steps_taken(i + 1) for i in range(self.num_unets)),
+            default=0,
+        )
+        tag = folder / f"ckpt_{steps}"
+        for i, state in self.states.items():
+            save_pytree(tag / f"unet{i + 1}", state)
+        ckpts = sorted(
+            (p for p in folder.glob("ckpt_*") if p.is_dir()),
+            key=lambda p: int(p.name.split("_")[1]),
+        )
+        while len(ckpts) > self.config.max_checkpoints_keep:
+            shutil.rmtree(ckpts.pop(0))
+        return tag
+
+    def load_from_checkpoint_folder(
+        self, folder=None, *, step: Optional[int] = None, missing_ok: bool = False
+    ) -> bool:
+        """Exact-state resume from the newest (or ``step``-tagged)
+        checkpoint in the rotation folder. Returns True when restored."""
+        from pathlib import Path
+
+        folder = Path(folder or self.config.checkpoint_path)
+        ckpts = sorted(
+            (p for p in folder.glob("ckpt_*") if p.is_dir()),
+            key=lambda p: int(p.name.split("_")[1]),
+        ) if folder.exists() else []
+        if step is not None:
+            ckpts = [p for p in ckpts if int(p.name.split("_")[1]) == step]
+        if not ckpts:
+            if missing_ok:
+                return False
+            raise FileNotFoundError(f"no ckpt_* checkpoints under {folder}")
+        # exact resume: no EMA promotion (that is a sampling-time choice)
+        load_imagen_from_checkpoint(ckpts[-1], self, use_ema=False)
+        return True
 
 
 def load_imagen_from_checkpoint(

@@ -26,6 +26,8 @@ def make_optimizer(
     schedule: Optional[optax.Schedule] = None,
     plateau_patience: Optional[int] = None,
     plateau_factor: float = 0.1,
+    plateau_accumulation: int = 1,
+    plateau_min_scale: float = 0.0,
 ) -> optax.GradientTransformation:
     """Build the optimizer chain.
 
@@ -56,9 +58,16 @@ def make_optimizer(
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
     chain.append(opt)
     if plateau_patience is not None:
+        # accumulation_size averages the loss over N update calls before a
+        # plateau decision, so patience counts "epochs" when N is set to
+        # steps-per-epoch — matching the reference stepping the scheduler
+        # once per epoch on mean train loss (ddpm…wValid.py:679).
         chain.append(
             optax.contrib.reduce_on_plateau(
-                factor=plateau_factor, patience=plateau_patience
+                factor=plateau_factor,
+                patience=plateau_patience,
+                accumulation_size=max(1, plateau_accumulation),
+                min_scale=plateau_min_scale,
             )
         )
     return optax.chain(*chain) if len(chain) > 1 else opt
@@ -81,4 +90,20 @@ def warmup_cosine_schedule(
     )
 
 
-__all__ = ["make_optimizer", "warmup_cosine_schedule"]
+def find_plateau_state(opt_state):
+    """Locate the reduce_on_plateau state inside a (possibly MultiSteps-
+    wrapped) chain, or None. Its ``.scale`` is the current LR multiplier —
+    the observable the reference printed when ReduceLROnPlateau fired."""
+    if hasattr(opt_state, "plateau_count") and hasattr(opt_state, "scale"):
+        return opt_state
+    if hasattr(opt_state, "inner_opt_state"):  # optax.MultiSteps
+        return find_plateau_state(opt_state.inner_opt_state)
+    if isinstance(opt_state, (tuple, list)):
+        for child in opt_state:
+            found = find_plateau_state(child)
+            if found is not None:
+                return found
+    return None
+
+
+__all__ = ["make_optimizer", "warmup_cosine_schedule", "find_plateau_state"]

@@ -35,9 +35,14 @@ class TrainState(struct.PyTreeNode):
     ema_params: Optional[core.FrozenDict[str, Any]] = None
     ema_decay: float = struct.field(pytree_node=False, default=0.995)
 
-    def apply_gradients(self, *, grads, **kwargs) -> "TrainState":
+    def apply_gradients(self, *, grads, value=None, **kwargs) -> "TrainState":
+        """``value`` (the scalar train loss) is forwarded to ``tx.update``
+        for transforms that consume it — optax.contrib.reduce_on_plateau,
+        the ReduceLROnPlateau equivalent the reference steps on train loss
+        (ddpm_DANRA_conditional_wValid.py:417,679)."""
+        extra = {} if value is None else {"value": value}
         updates, new_opt_state = self.tx.update(
-            grads, self.opt_state, self.params
+            grads, self.opt_state, self.params, **extra
         )
         new_params = optax.apply_updates(self.params, updates)
         new_ema = self.ema_params

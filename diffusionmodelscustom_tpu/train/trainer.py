@@ -49,12 +49,26 @@ class TrainerConfig:
     """Knobs mirroring the reference's hyperparameter surface
     (ddpm_DANRA_conditional_wValid.py:198-212; test/launch.py:28-69)."""
 
-    loss: str = "simple"  # simple | sdfweighted | l1 | huber
+    loss: str = "simple"  # simple | sdfweighted | hybrid | l1 | huber
     optimizer: str = "adamw"
     learning_rate: float = 3e-4
     weight_decay: float = 0.01
     grad_clip_norm: Optional[float] = None
     grad_accum_steps: int = 1
+    # LR scheduling (src/main_ddpm.py:376-409 scheduler selection;
+    # ReduceLROnPlateau stepped on train loss, ddpm…wValid.py:417,679;
+    # ImagenTrainer warmup+cosine, CascadedDDPM/trainer.py:427-446)
+    lr_scheduler: str = "none"  # none | plateau | warmup_cosine
+    plateau_patience: int = 5
+    plateau_factor: float = 0.5
+    plateau_accumulation: int = 1  # set to steps-per-epoch for epoch patience
+    min_lr_ratio: float = 0.0
+    warmup_steps: int = 1000
+    total_steps: Optional[int] = None  # required for warmup_cosine
+    # hybrid loss (HybridLoss(alpha=0.5, T=n_timesteps),
+    # ddpm_DANRA_conditional_wValid.py:378); None -> diffusion.n_timesteps
+    hybrid_alpha: float = 0.5
+    hybrid_timesteps: Optional[int] = None
     ema: bool = True
     ema_decay: float = 0.995
     cfg_dropout_prob: float = 0.0  # p(uncond) during training
@@ -85,11 +99,41 @@ class Trainer:
         self.model = model
         self.diffusion = diffusion
         self.config = config
+        schedule = None
+        plateau_patience = None
+        if config.lr_scheduler == "warmup_cosine":
+            if config.total_steps is None:
+                raise ValueError(
+                    "lr_scheduler='warmup_cosine' requires total_steps"
+                )
+            from .optim import warmup_cosine_schedule
+
+            schedule = warmup_cosine_schedule(
+                config.learning_rate,
+                config.warmup_steps,
+                config.total_steps,
+                end_lr_ratio=config.min_lr_ratio,
+            )
+        elif config.lr_scheduler == "plateau":
+            plateau_patience = config.plateau_patience
+        elif config.lr_scheduler not in ("none", None):
+            raise ValueError(
+                f"unknown lr_scheduler {config.lr_scheduler!r}; "
+                "options: none|plateau|warmup_cosine"
+            )
+        # plateau scaling consumes the scalar loss each step (value= kwarg
+        # through TrainState.apply_gradients)
+        self._pass_loss_value = plateau_patience is not None
         tx = make_optimizer(
             config.optimizer,
             config.learning_rate,
             weight_decay=config.weight_decay,
             grad_clip_norm=config.grad_clip_norm,
+            schedule=schedule,
+            plateau_patience=plateau_patience,
+            plateau_factor=config.plateau_factor,
+            plateau_accumulation=config.plateau_accumulation,
+            plateau_min_scale=config.min_lr_ratio,
         )
         if config.grad_accum_steps > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=config.grad_accum_steps)
@@ -141,8 +185,39 @@ class Trainer:
         if name in ("simple", "mse"):
             return simple_loss(pred, target)
         raise ValueError(
-            f"unknown loss {name!r}; options: simple|mse|l1|huber|sdfweighted"
+            f"unknown loss {name!r}; options: simple|mse|l1|huber|sdfweighted|hybrid"
         )
+
+    def _hybrid_loss(self, params, batch_stats, batch: Batch, x_t, rng):
+        """HybridLoss semantics (training_DANRA_conditional.py:18-31,190-199):
+        the model is evaluated on the SAME noised batch x_t at every
+        timestep k in [0, T), each prediction scored against an independent
+        noise draw; the final-timestep term has weight 1, all earlier terms
+        weight alpha. The reference realizes this with T sequential python
+        forwards building a [T, B, ...] stack; here a ``lax.scan`` with a
+        rematerialized body keeps memory O(1) in T on TPU while the gradient
+        still flows through all T forwards.
+        """
+        T = self.config.hybrid_timesteps or self.diffusion.n_timesteps
+        alpha = self.config.hybrid_alpha
+        b = x_t.shape[0]
+
+        def body(acc, inputs):
+            k, key = inputs
+            pred, _ = self._forward(
+                params, batch_stats, batch, x_t, jnp.full((b,), k), train=False
+            )
+            noise_k = jax.random.normal(key, x_t.shape, jnp.float32)
+            mse = simple_loss(pred, noise_k)
+            w = jnp.where(k == T - 1, 1.0, alpha)
+            return acc + w * mse, None
+
+        keys = jax.random.split(rng, T)
+        ks = jnp.arange(T)
+        total, _ = jax.lax.scan(
+            jax.checkpoint(body), jnp.zeros((), jnp.float32), (ks, keys)
+        )
+        return total
 
     def _apply_cfg_dropout(self, rng: jax.Array, batch: Batch) -> Batch:
         """Per-sample conditioning dropout for CFG training.
@@ -199,17 +274,32 @@ class Trainer:
         t = self.diffusion.sample_timesteps(rng_t, x0.shape[0])
         x_t, noise = self.diffusion.noise_image(rng_noise, x0, t)
 
-        def loss_fn(params):
-            pred, new_stats = self._forward(
-                params, state.batch_stats, batch, x_t, t, train=True
-            )
-            loss = self._compute_loss(pred, noise, batch)
-            return loss, new_stats
+        if self.config.loss == "hybrid":
+            rng_h = jax.random.fold_in(rng, 7)
+
+            def loss_fn(params):
+                loss = self._hybrid_loss(
+                    params, state.batch_stats, batch, x_t, rng_h
+                )
+                return loss, state.batch_stats
+
+        else:
+
+            def loss_fn(params):
+                pred, new_stats = self._forward(
+                    params, state.batch_stats, batch, x_t, t, train=True
+                )
+                loss = self._compute_loss(pred, noise, batch)
+                return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        new_state = state.apply_gradients(
+            grads=grads,
+            batch_stats=new_stats,
+            value=loss if self._pass_loss_value else None,
+        )
         metrics = {"loss": loss}
         if self.config.log_grad_norm:
             metrics["grad_norm"] = optax.global_norm(grads)
@@ -222,6 +312,11 @@ class Trainer:
         x0 = batch["img"]
         t = self.diffusion.sample_timesteps(rng_t, x0.shape[0])
         x_t, noise = self.diffusion.noise_image(rng_noise, x0, t)
+        if self.config.loss == "hybrid":
+            return self._hybrid_loss(
+                state.params, state.batch_stats, batch, x_t,
+                jax.random.fold_in(rng, 7),
+            )
         pred, _ = self._forward(
             state.params, state.batch_stats, batch, x_t, t, train=False
         )
@@ -229,6 +324,13 @@ class Trainer:
 
     def train_step(self, state, batch, rng):
         return self._train_step(state, batch, rng)
+
+    def lr_scale(self, state) -> float:
+        """Current plateau LR multiplier (1.0 when no plateau scheduler)."""
+        from .optim import find_plateau_state
+
+        ps = find_plateau_state(state.opt_state)
+        return float(jax.device_get(ps.scale)) if ps is not None else 1.0
 
     def eval_step(self, state, batch, rng):
         return self._eval_step(state, batch, rng)

@@ -92,6 +92,8 @@ class TrainingConfig:
     plateau_factor: float = 0.5
     warmup_steps: int = 1000
     loss_type: str = "simple"
+    hybrid_alpha: float = 0.5
+    hybrid_timesteps: Optional[int] = None  # None -> n_timesteps (reference T)
     early_stopping: bool = True
     early_stopping_patience: int = 10
     ema: bool = True

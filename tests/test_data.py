@@ -171,3 +171,80 @@ class TestSplitsAndMnist:
         assert labels.min() >= 0 and labels.max() <= 9
         imgs2, _ = load_mnist(None, n_synthetic=32)
         np.testing.assert_array_equal(imgs, imgs2)  # deterministic
+
+
+class TestThreadedLoader:
+    @pytest.fixture
+    def stores(self, tmp_path):
+        lsm, topo = synthetic_geography((64, 64))
+        make_synthetic_store(
+            tmp_path / "hr", n_days=8, shape=(64, 64), lsm=lsm, seed=1
+        )
+        make_synthetic_store(
+            tmp_path / "lr", n_days=8, shape=(64, 64), lowres_factor=4, seed=2
+        )
+        return tmp_path, lsm, topo
+
+    def _full_cfg(self):
+        return DanraDatasetConfig(
+            data_size=(32, 32),
+            conditional_seasons=True,
+            conditional_images=True,
+            n_classes=4,
+            cutouts=True,
+            cutout_domains=[0, 64, 0, 64],
+            cutout_size=32,
+            sdf_weighted_loss=True,
+            n_samples=12,
+        )
+
+    def test_threaded_loader_matches_schema(self, stores):
+        tmp_path, lsm, topo = stores
+        ds = DanraDataset(
+            tmp_path / "hr", self._full_cfg(), cond_store_path=tmp_path / "lr",
+            lsm_full_domain=lsm, topo_full_domain=topo,
+        )
+        loader = BatchLoader(ds, batch_size=4, num_workers=4, seed=3)
+        batches = list(loader)
+        assert len(batches) == 3
+        b = batches[0]
+        for key in ("img", "img_cond", "lsm", "topo", "sdf"):
+            assert b[key].shape == (4, 32, 32, 1), key
+        assert b["classifier"].shape == (4,)
+        assert b["points"].shape == (4, 4)
+        assert np.abs(b["img"]).max() <= 1.0 + 1e-6  # scaled
+        assert 0.0 <= b["sdf"].min() and b["sdf"].max() <= 1.0 + 1e-6
+
+    def test_load_batch_matches_per_sample_values(self, stores):
+        # without cutouts the two paths are deterministic and must agree
+        tmp_path, _, _ = stores
+        cfg = DanraDatasetConfig(
+            data_size=(32, 32), conditional_seasons=True,
+            conditional_images=True, n_classes=4,
+        )
+        ds = DanraDataset(tmp_path / "hr", cfg, cond_store_path=tmp_path / "lr")
+        per_sample = collate([ds[i] for i in range(4)])
+        batched = ds.load_batch([0, 1, 2, 3])
+        for key in ("img", "img_cond"):
+            np.testing.assert_allclose(
+                batched[key], per_sample[key], rtol=1e-4, atol=1e-4
+            )
+        np.testing.assert_array_equal(
+            batched["classifier"], per_sample["classifier"]
+        )
+
+    def test_threaded_loader_throughput_not_slower(self, stores):
+        # microbench sanity: the threaded path completes and is not
+        # pathologically slower than serial on this tiny workload
+        import time
+
+        tmp_path, lsm, topo = stores
+        ds = DanraDataset(
+            tmp_path / "hr", self._full_cfg(), cond_store_path=tmp_path / "lr",
+            lsm_full_domain=lsm, topo_full_domain=topo,
+        )
+        serial = BatchLoader(ds, batch_size=4, num_workers=0, seed=3)
+        threaded = BatchLoader(ds, batch_size=4, num_workers=4, seed=3)
+        t0 = time.perf_counter(); _ = list(serial); ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); _ = list(threaded); tt = time.perf_counter() - t0
+        assert tt < ts * 5  # no deadlocks / pathological overhead

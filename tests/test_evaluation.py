@@ -99,3 +99,47 @@ def test_evaluate_fields_scorecard():
         assert key in out and np.isfinite(out[key])
     assert out["mae"] < 0.2
     assert out["heidke"] > 0.5
+
+
+class TestFID:
+    def test_identical_sets_zero_and_same_distribution_small(self):
+        from diffusionmodelscustom_tpu.evaluation.fid import fid
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(5.0, 2.0, (200, 16, 16))
+        b = rng.normal(5.0, 2.0, (200, 16, 16))
+        assert fid(a, a.copy()) < 1e-8  # identical sample sets -> 0
+        # same distribution: small (finite-sample bias) vs a shifted one
+        d_same = fid(a, b)
+        d_shift = fid(a + 3.0, b)
+        assert d_same < d_shift / 5
+
+    def test_monotone_in_distribution_shift(self):
+        from diffusionmodelscustom_tpu.evaluation.fid import fid
+
+        rng = np.random.default_rng(1)
+        ref = rng.normal(0.0, 1.0, (200, 16, 16))
+        d1 = fid(rng.normal(0.5, 1.0, (200, 16, 16)), ref)
+        d2 = fid(rng.normal(2.0, 1.0, (200, 16, 16)), ref)
+        d3 = fid(rng.normal(8.0, 1.0, (200, 16, 16)), ref)
+        assert d1 < d2 < d3
+
+    def test_frechet_distance_closed_form(self):
+        from diffusionmodelscustom_tpu.evaluation.fid import frechet_distance
+
+        # isotropic Gaussians: d^2 = |mu|^2 + (sqrt(a)-sqrt(b))^2 * dim
+        dim = 4
+        a, b = 2.0, 0.5
+        mu = np.zeros(dim)
+        mu2 = np.full(dim, 3.0)
+        d = frechet_distance(mu, a * np.eye(dim), mu2, b * np.eye(dim))
+        want = 9.0 * dim + (np.sqrt(a) - np.sqrt(b)) ** 2 * dim
+        np.testing.assert_allclose(d, want, rtol=1e-6)
+
+    def test_custom_feature_fn(self):
+        from diffusionmodelscustom_tpu.evaluation.fid import fid
+
+        feats = lambda x: x.reshape(len(x), -1)[:, :8]
+        rng = np.random.default_rng(2)
+        a = rng.normal(0, 1, (100, 4, 4))
+        assert fid(a, a.copy(), feature_fn=feats) < 1e-8

@@ -212,3 +212,259 @@ class TestT5:
         assert m1[0, :4].all() and not m1[0, 4:].any()  # 4 tokens
         # masked positions are zeroed
         assert np.abs(e1[0, 4:]).max() == 0.0
+
+
+def test_elucidated_inpainting_sample():
+    # EDM inpainting through the full cascade sample path (the round-1
+    # assert at models/imagen/cascade.py is gone): masked pixels of the
+    # known image survive to the output, everything is finite.
+    unets = [
+        ImagenUNet(
+            dim=16, dim_mults=(1, 2), channels=3, text_embed_dim=TEXT_DIM,
+            num_resnet_blocks=1, layer_attns=(False, True),
+            layer_cross_attns=(False, True), attn_heads=2,
+            learned_sinu_dim=8,
+        )
+    ]
+    cascade = ElucidatedImagen(
+        unets=unets, image_sizes=(8,), channels=3,
+        edm=EDMConfig(num_sample_steps=4),
+    )
+    te, tm = text_batch()
+    params = [cascade.init_unet_params(0, jax.random.key(0), text_embed_dim=TEXT_DIM)]
+    known = jnp.ones((2, 8, 8, 3)) * 0.75  # in [0,1] image space
+    mask = jnp.zeros((2, 8, 8, 1)).at[:, 2:6, 2:6].set(1.0)
+    out = cascade.sample(
+        params, jax.random.key(1), batch_size=2,
+        text_embeds=te, text_mask=tm,
+        inpaint_images=known, inpaint_masks=mask, inpaint_resample_times=2,
+    )
+    out = np.asarray(out)
+    assert out.shape == (2, 8, 8, 3)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[:, 2:6, 2:6], 0.75, atol=1e-5)
+
+
+class TestImagenBreadth:
+    """Round-2 breadth: cosine-sim attention, linear attention variants,
+    UpsampleCombiner, scaled skips, cast_model_parameters."""
+
+    def test_full_knob_unet_forward(self):
+        unet = ImagenUNet(
+            dim=16, dim_mults=(1, 2), channels=3, text_embed_dim=TEXT_DIM,
+            num_resnet_blocks=1,
+            layer_attns=(False, True),
+            layer_cross_attns=(False, True),
+            use_linear_attn=(True, False),      # linear attn at level 0
+            use_linear_cross_attn=(True, False),  # linear cross at level 0
+            cosine_sim_attn=True,
+            scale_skip_connection=True,
+            combine_upsample_fmaps=True,
+            attn_heads=2, learned_sinu_dim=8,
+        )
+        x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+        nc = jnp.zeros((2,))
+        te, tm = text_batch()
+        params = unet.init(jax.random.key(1), x, nc, text_embeds=te, text_mask=tm)
+        out = unet.apply(params, x, nc, text_embeds=te, text_mask=tm)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+        # the knob-specific params actually exist
+        flat = jax.tree_util.tree_leaves_with_path(params)
+        names = "/".join(str(p) for p, _ in flat)
+        assert "linattn" in names
+        assert "upsample_combiner" in names
+        assert "q_scale" in names  # cosine-sim scales
+
+    def test_linear_attention_shapes(self):
+        from diffusionmodelscustom_tpu.models.imagen import (
+            CosineSimAttention, LinearAttention, LinearCrossAttention,
+        )
+
+        x = jax.random.normal(jax.random.key(0), (2, 8, 8, 16))
+        m = LinearAttention(dim_head=8, heads=2)
+        p = m.init(jax.random.key(1), x)
+        assert m.apply(p, x).shape == x.shape
+
+        tokens = x.reshape(2, 64, 16)
+        ctx = jax.random.normal(jax.random.key(2), (2, 5, 12))
+        mask = jnp.array([[1, 1, 1, 0, 0], [1, 0, 0, 0, 0]], bool)
+        mc = LinearCrossAttention(dim_head=8, heads=2)
+        pc = mc.init(jax.random.key(3), tokens, ctx, mask)
+        assert mc.apply(pc, tokens, ctx, mask).shape == tokens.shape
+
+        ma = CosineSimAttention(dim_head=8, heads=2, context_dim=12)
+        pa = ma.init(jax.random.key(4), tokens, ctx)
+        out = ma.apply(pa, tokens, ctx)
+        assert out.shape == tokens.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_linear_cross_attention_mask_ignores_padding(self):
+        from diffusionmodelscustom_tpu.models.imagen import LinearCrossAttention
+
+        tokens = jax.random.normal(jax.random.key(0), (1, 16, 8))
+        ctx = jax.random.normal(jax.random.key(1), (1, 6, 8))
+        mask = jnp.array([[1, 1, 1, 0, 0, 0]], bool)
+        m = LinearCrossAttention(dim_head=8, heads=1)
+        p = m.init(jax.random.key(2), tokens, ctx, mask)
+        base = m.apply(p, tokens, ctx, mask)
+        # changing MASKED positions must not change the output
+        ctx2 = ctx.at[:, 3:].set(jax.random.normal(jax.random.key(3), (1, 3, 8)))
+        out2 = m.apply(p, tokens, ctx2, mask)
+        np.testing.assert_allclose(np.asarray(base), np.asarray(out2), atol=1e-5)
+
+    def test_cast_model_parameters(self):
+        unet = tiny_unet()
+        same = unet.cast_model_parameters(
+            lowres_cond=False, text_embed_dim=TEXT_DIM, channels=3,
+            channels_out=None, cond_on_text=True,
+        )
+        assert same is unet
+        recast = unet.cast_model_parameters(
+            lowres_cond=True, text_embed_dim=TEXT_DIM, channels=3,
+            channels_out=3, cond_on_text=True,
+        )
+        assert recast is not unet and recast.lowres_cond
+        nu = NullUnet()
+        assert nu.cast_model_parameters() is nu
+
+    def test_channels_out_and_cond_on_text_off(self):
+        unet = ImagenUNet(
+            dim=16, dim_mults=(1, 2), channels=3, channels_out=6,
+            cond_on_text=False, text_embed_dim=TEXT_DIM,
+            num_resnet_blocks=1, layer_attns=(False, True),
+            layer_cross_attns=(False, False), attn_heads=2, learned_sinu_dim=8,
+        )
+        x = jnp.zeros((1, 16, 16, 3))
+        nc = jnp.zeros((1,))
+        te, tm = text_batch(b=1)
+        params = unet.init(jax.random.key(0), x, nc, text_embeds=te, text_mask=tm)
+        out = unet.apply(params, x, nc, text_embeds=te, text_mask=tm)
+        assert out.shape == (1, 16, 16, 6)
+
+
+class TestImagenTrainerPersistence:
+    """Round-2 trainer tail: checkpoint_every rotation, managed
+    dataloaders, only_train_unet lock, kill-and-resume."""
+
+    def _trainer(self, tmp_path=None, **cfg_kw):
+        unets = [tiny_unet()]
+        cascade = Imagen(
+            unets=unets, image_sizes=(8,), channels=3, timesteps=10,
+        )
+        cfg = ImagenTrainerConfig(
+            use_ema=True,
+            checkpoint_path=str(tmp_path) if tmp_path else None,
+            **cfg_kw,
+        )
+        return ImagenTrainer(cascade, cfg, text_embed_dim=TEXT_DIM)
+
+    def _batches(self, n=4):
+        te, tm = text_batch()
+        return [
+            {
+                "images": jax.random.uniform(jax.random.key(i), (2, 8, 8, 3)),
+                "text_embeds": te,
+                "text_mask": tm,
+            }
+            for i in range(n)
+        ]
+
+    def test_checkpoint_every_and_rotation(self, tmp_path):
+        trainer = self._trainer(
+            tmp_path, checkpoint_every=1, max_checkpoints_keep=2
+        )
+        trainer.add_train_dataloader(self._batches())
+        for _ in range(5):
+            trainer.train_step(1, rng=jax.random.key(3))
+        ckpts = sorted((tmp_path).glob("ckpt_*"))
+        assert len(ckpts) == 2  # rotated down to max_checkpoints_keep
+        steps = sorted(int(p.name.split("_")[1]) for p in ckpts)
+        assert steps == [4, 5]
+
+    def test_kill_and_resume_exact(self, tmp_path):
+        trainer = self._trainer(tmp_path, checkpoint_every=2)
+        trainer.add_train_dataloader(self._batches())
+        for _ in range(4):
+            trainer.train_step(1, rng=jax.random.key(3))
+        p_before = jax.tree_util.tree_leaves(trainer.states[0].params)[0]
+
+        # simulate a crash: a brand-new trainer on the same folder resumes
+        resumed = self._trainer(tmp_path)
+        assert resumed.num_steps_taken(1) == 4
+        p_after = jax.tree_util.tree_leaves(resumed.states[0].params)[0]
+        np.testing.assert_allclose(
+            np.asarray(p_before), np.asarray(p_after), rtol=1e-6
+        )
+        # EMA state survived too (not promoted on resume)
+        assert resumed.states[0].ema_params is not None
+
+    def test_only_train_unet_lock(self):
+        unets = [tiny_unet(), tiny_unet(lowres=True)]
+        cascade = Imagen(unets=unets, image_sizes=(8, 16), channels=3, timesteps=10)
+        trainer = ImagenTrainer(
+            cascade, ImagenTrainerConfig(only_train_unet=1),
+            text_embed_dim=TEXT_DIM,
+        )
+        te, tm = text_batch()
+        images = jax.random.uniform(jax.random.key(0), (2, 16, 16, 3))
+        with pytest.raises(ValueError, match="only_train_unet"):
+            trainer.train_step(2, images, text_embeds=te, text_mask=tm)
+
+    def test_managed_dataloader_cycles(self):
+        trainer = self._trainer()
+        batches = self._batches(n=2)
+        trainer.add_train_dataloader(batches)
+        losses = [trainer.train_step(1, rng=jax.random.key(4)) for _ in range(5)]
+        assert all(np.isfinite(losses))
+        with pytest.raises(ValueError, match="dataloader"):
+            trainer.valid_step(1)
+
+
+def test_t5_flax_matches_torch_on_tiny_model(tmp_path):
+    # The flax wiring must reproduce the torch encoder exactly. No cached
+    # google/t5 weights exist in the offline image, so build a tiny
+    # randomly-initialized T5, save it, and load it through BOTH backends.
+    import torch
+    from transformers import FlaxT5EncoderModel, T5Config, T5EncoderModel
+
+    from diffusionmodelscustom_tpu.models.imagen.t5 import encode_tokenized_flax
+
+    cfg = T5Config(
+        vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+    )
+    torch_model = T5EncoderModel(cfg).eval()
+    torch_model.save_pretrained(tmp_path / "tiny_t5")
+    flax_model = FlaxT5EncoderModel.from_pretrained(
+        tmp_path / "tiny_t5", from_pt=True
+    )
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 128, (2, 10)).astype("int32")
+    mask = np.ones((2, 10), "int32")
+    mask[1, 6:] = 0
+
+    got = encode_tokenized_flax(flax_model, ids, mask)
+    with torch.no_grad():
+        want = torch_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    want = want * mask[..., None]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_t5_fallback_warns_once():
+    import warnings as _w
+
+    from diffusionmodelscustom_tpu.models.imagen import t5 as t5mod
+
+    if not t5mod.is_fallback():
+        pytest.skip("real T5 weights are cached; fallback not in use")
+    t5mod._warned_fallback = False
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        t5mod.t5_encode_text(["hello world"])
+        t5mod.t5_encode_text(["again"])
+    msgs = [str(r.message) for r in rec if "NON-SEMANTIC" in str(r.message)]
+    assert len(msgs) == 1

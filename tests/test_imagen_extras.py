@@ -151,3 +151,66 @@ class TestInpainting:
         # known region exactly restored; unknown region near the model's target
         np.testing.assert_allclose(out[:, :4], -0.8, atol=1e-6)
         assert abs(out[:, 4:].mean() - target) < 0.2
+
+
+class TestVideoTemporal:
+    """Round-2 video completeness: temporal pixel-shuffle upsample /
+    downsample (imagen_video.py:645-683), ignore_time, frame resizing."""
+
+    def _unet(self, **kw):
+        base = dict(
+            dim=8, dim_mults=(1, 2), channels=3, text_embed_dim=16,
+            num_resnet_blocks=1, layer_attns=(False, True),
+            layer_cross_attns=(False, False), temporal_attns=(True, True),
+            attn_heads=2, learned_sinu_dim=8,
+        )
+        base.update(kw)
+        return ImagenUNet3D(**base)
+
+    def test_temporal_down_up_modules_roundtrip_shapes(self):
+        from diffusionmodelscustom_tpu.models.imagen import (
+            TemporalDownsample, TemporalPixelShuffleUpsample,
+        )
+
+        x = jax.random.normal(jax.random.key(0), (2, 8, 4, 4, 6))
+        down = TemporalDownsample(6, stride=2)
+        pd = down.init(jax.random.key(1), x)
+        y = down.apply(pd, x)
+        assert y.shape == (2, 4, 4, 4, 6)
+        up = TemporalPixelShuffleUpsample(6, stride=2)
+        pu = up.init(jax.random.key(2), y)
+        z = up.apply(pu, y)
+        assert z.shape == x.shape
+
+    def test_unet3d_with_temporal_strides(self):
+        unet = self._unet(temporal_strides=(1, 2))
+        x = jax.random.normal(jax.random.key(0), (1, 4, 16, 16, 3))
+        nc = jnp.zeros((1,))
+        params = unet.init(jax.random.key(1), x, nc)
+        out = unet.apply(params, x, nc)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_ignore_time_frames_independent(self):
+        # with ignore_time, each output frame depends only on its own input
+        # frame (the reference's images-as-video pathway)
+        unet = self._unet()
+        x = jax.random.normal(jax.random.key(0), (1, 3, 16, 16, 3))
+        nc = jnp.zeros((1,))
+        params = unet.init(jax.random.key(1), x, nc)  # init WITH time params
+        full = unet.apply(params, x, nc, ignore_time=True)
+        # perturb frame 2 only; frames 0-1 outputs must not change
+        x2 = x.at[:, 2].set(jax.random.normal(jax.random.key(5), (1, 16, 16, 3)))
+        out2 = unet.apply(params, x2, nc, ignore_time=True)
+        np.testing.assert_allclose(
+            np.asarray(full[:, :2]), np.asarray(out2[:, :2]), atol=1e-5
+        )
+        assert not np.allclose(np.asarray(full[:, 2]), np.asarray(out2[:, 2]))
+
+    def test_resize_video(self):
+        from diffusionmodelscustom_tpu.ops.resize import resize_video
+
+        x = jax.random.normal(jax.random.key(0), (2, 4, 8, 8, 3))
+        y = resize_video(x, 8, 16, 16)
+        assert y.shape == (2, 8, 16, 16, 3)
+        assert resize_video(x, 4, 8, 8) is x

@@ -88,6 +88,33 @@ class TestAttention:
             np.asarray(got), np.asarray(expected), rtol=2e-3, atol=2e-3
         )
 
+    def test_flash_backward_matches_reference_interpret(self):
+        # The Pallas dQ/dKV backward kernels must produce the same
+        # gradients as differentiating the einsum reference.
+        from jax.experimental.pallas import tpu as pltpu
+
+        b, s, h, d = 1, 512, 2, 32
+        rng = jax.random.key(2)
+        kq, kk, kv = jax.random.split(rng, 3)
+        q = jax.random.normal(kq, (b, s, h, d))
+        k = jax.random.normal(kk, (b, s, h, d))
+        v = jax.random.normal(kv, (b, s, h, d))
+
+        def loss_ref(q, k, v):
+            return (_reference_attention(q, k, v) ** 2).sum()
+
+        def loss_flash(q, k, v):
+            return (flash_attention(q, k, v, block_q=256, block_k=256) ** 2).sum()
+
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        for g, w, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=5e-3, atol=5e-3,
+                err_msg=f"d{name}",
+            )
+
     def test_flash_fallback_small_seq(self):
         # tiny maps fall back to einsum (no grid launch)
         q = jax.random.normal(jax.random.key(0), (1, 64, 2, 8))

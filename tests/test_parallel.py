@@ -111,15 +111,30 @@ def test_params_sharding_rules():
     assert sh["odd"].spec == jax.sharding.PartitionSpec()
 
 
-def test_graft_entry_dryrun_smoke():
-    # the driver calls dryrun_multichip(n) with virtual devices; ensure the
-    # public contract holds on a small device count.
-    import sys, pathlib
+def test_graft_entry_dryrun_subprocess():
+    # Run in a FRESH interpreter withOUT conftest so the driver's real
+    # environment (sitecustomize pins a remote TPU platform with 1 device)
+    # is reproduced exactly: dryrun_multichip must self-configure the
+    # n-device virtual CPU mesh. Round 1 failed precisely because the
+    # in-process test inherited conftest's platform config and masked this.
+    import pathlib
+    import subprocess
+    import sys
 
-    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-    import __graft_entry__ as g
-
-    g.dryrun_multichip(4)
+    root = pathlib.Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+        ],
+        cwd=root,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, f"stderr: {r.stderr[-2000:]}"
+    assert "dryrun_multichip OK" in r.stdout
 
 
 def test_global_batch_from_local_single_process():

@@ -101,3 +101,33 @@ def test_dpmpp_2m_converges_with_perfect_denoiser():
         denoise_fn, diff, jax.random.key(0), (2, 8, 8, 1), num_steps=12
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_edm_sample_inpainting_preserves_known_region():
+    # repaint resampling (elucidated_imagen.py:486-540): the known region
+    # is hard-pasted at the end; the unknown region must differ from an
+    # un-inpainted run with the same rng.
+    from diffusionmodelscustom_tpu.core import EDMConfig
+    from diffusionmodelscustom_tpu.sampling import edm_sample
+
+    cfg = EDMConfig(num_sample_steps=6)
+    shape = (2, 8, 8, 1)
+    known = jnp.ones(shape) * 0.5
+    mask = jnp.zeros(shape).at[:, :4].set(1.0)
+
+    def denoise_fn(x, sigma_b):
+        # denoised estimate = per-sample spatial mean, so the known
+        # region's content couples into the unknown region's trajectory
+        m = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        return jnp.broadcast_to(m, x.shape)
+
+    out = edm_sample(
+        denoise_fn, cfg, jax.random.key(0), shape,
+        inpaint_images=known, inpaint_masks=mask, resample_times=3,
+    )
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[:, :4], 0.5)  # known region pasted
+    plain = np.asarray(edm_sample(denoise_fn, cfg, jax.random.key(0), shape))
+    assert np.isfinite(out).all()
+    # conditioning visibly changed the generation path
+    assert not np.allclose(out[:, 4:], plain[:, 4:], atol=1e-3)

@@ -125,3 +125,105 @@ def test_grad_accumulation():
     state, _ = trainer.train_step(state, batch, jax.random.key(3))
     p2 = jax.tree_util.tree_leaves(state.params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p2))
+
+
+def test_hybrid_loss_training():
+    # hybrid selectable end-to-end: T forwards on the same x_t, final term
+    # weight 1, earlier terms alpha (training_DANRA_conditional.py:18-31)
+    model = tiny_model()
+    diff = GaussianDiffusion.create(n_timesteps=6)
+    trainer = Trainer(
+        model, diff,
+        TrainerConfig(loss="hybrid", hybrid_alpha=0.5, learning_rate=1e-3, ema=False),
+    )
+    batch = make_batch(jax.random.key(1))
+    state = trainer.init_state(jax.random.key(0), batch)
+    losses = []
+    for i in range(10):
+        state, m = trainer.train_step(state, batch, jax.random.fold_in(jax.random.key(2), i))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # eval path works too
+    v = trainer.eval_step(state, batch, jax.random.key(3))
+    assert np.isfinite(float(v))
+
+
+def test_hybrid_loss_matches_manual_stack():
+    # the scan accumulation equals the explicit stacked-T computation
+    from diffusionmodelscustom_tpu.core.losses import simple_loss
+
+    model = tiny_model()
+    T = 4
+    diff = GaussianDiffusion.create(n_timesteps=T)
+    trainer = Trainer(model, diff, TrainerConfig(loss="hybrid", hybrid_alpha=0.5, ema=False))
+    batch = make_batch(jax.random.key(1))
+    state = trainer.init_state(jax.random.key(0), batch)
+    x_t = jax.random.normal(jax.random.key(5), batch["img"].shape)
+    rng = jax.random.key(7)
+    got = float(trainer._hybrid_loss(state.params, state.batch_stats, batch, x_t, rng))
+
+    keys = jax.random.split(rng, T)
+    want = 0.0
+    for k in range(T):
+        pred, _ = trainer._forward(
+            state.params, state.batch_stats, batch, x_t,
+            jnp.full((x_t.shape[0],), k), train=False,
+        )
+        noise_k = jax.random.normal(keys[k], x_t.shape, jnp.float32)
+        w = 1.0 if k == T - 1 else 0.5
+        want += w * float(simple_loss(pred, noise_k))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_plateau_scheduler_reduces_lr():
+    # constant loss (zero-gradient direction won't happen, so use a batch
+    # the model can't fit and a tiny patience): the plateau scale must drop
+    model = tiny_model()
+    diff = GaussianDiffusion.create(n_timesteps=10)
+    trainer = Trainer(
+        model, diff,
+        TrainerConfig(
+            learning_rate=1e-8,  # effectively frozen -> loss plateaus
+            lr_scheduler="plateau",
+            plateau_patience=2,
+            plateau_factor=0.5,
+            plateau_accumulation=1,
+            ema=False,
+        ),
+    )
+    batch = make_batch(jax.random.key(1))
+    state = trainer.init_state(jax.random.key(0), batch)
+    assert trainer.lr_scale(state) == 1.0
+    for i in range(12):
+        # identical rng -> identical loss every step -> guaranteed plateau
+        state, m = trainer.train_step(state, batch, jax.random.key(9))
+    assert trainer.lr_scale(state) < 1.0
+
+
+def test_warmup_cosine_requires_total_steps():
+    import pytest
+
+    model = tiny_model()
+    diff = GaussianDiffusion.create(n_timesteps=10)
+    with pytest.raises(ValueError, match="total_steps"):
+        Trainer(model, diff, TrainerConfig(lr_scheduler="warmup_cosine"))
+    # and with total_steps it trains
+    trainer = Trainer(
+        model, diff,
+        TrainerConfig(lr_scheduler="warmup_cosine", total_steps=100,
+                      warmup_steps=10, ema=False),
+    )
+    batch = make_batch(jax.random.key(1))
+    state = trainer.init_state(jax.random.key(0), batch)
+    state, m = trainer.train_step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_unknown_scheduler_rejected():
+    import pytest
+
+    model = tiny_model()
+    diff = GaussianDiffusion.create(n_timesteps=10)
+    with pytest.raises(ValueError, match="lr_scheduler"):
+        Trainer(model, diff, TrainerConfig(lr_scheduler="bogus"))
