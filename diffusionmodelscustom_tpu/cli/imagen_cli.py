@@ -37,6 +37,17 @@ class UnetConfig(BaseModel):
     layer_attns: Union[bool, List[bool]] = True
     layer_cross_attns: Union[bool, List[bool]] = True
     attn_heads: int = 8
+    # round-2 breadth knobs (imagen_pytorch.py Unet kwargs)
+    use_linear_attn: Union[bool, List[bool]] = False
+    use_linear_cross_attn: Union[bool, List[bool]] = False
+    cosine_sim_attn: bool = False
+    scale_skip_connection: bool = False
+    combine_upsample_fmaps: bool = False
+    memory_efficient: bool = False
+    use_global_context: bool = False
+    pixel_shuffle_upsample: bool = True
+    self_cond: bool = False
+    cond_images_channels: int = 0
 
 
 class ImagenConfigSchema(BaseModel):
@@ -46,6 +57,7 @@ class ImagenConfigSchema(BaseModel):
     elucidated: bool = False
     timesteps: Union[int, List[int]] = 1000
     image_sizes: List[int] = [64, 256]
+    random_crop_sizes: Optional[List[Optional[int]]] = None
     condition_on_text: bool = True
     cond_drop_prob: float = 0.1
     text_encoder_name: str = "google/t5-v1_1-base"
@@ -118,6 +130,20 @@ def _build_cascade(cfg: RootConfig):
                 layer_cross_attns=tuple(lca),
                 attn_heads=u.attn_heads,
                 lowres_cond=i > 0,
+                use_linear_attn=u.use_linear_attn
+                if isinstance(u.use_linear_attn, bool)
+                else tuple(u.use_linear_attn),
+                use_linear_cross_attn=u.use_linear_cross_attn
+                if isinstance(u.use_linear_cross_attn, bool)
+                else tuple(u.use_linear_cross_attn),
+                cosine_sim_attn=u.cosine_sim_attn,
+                scale_skip_connection=u.scale_skip_connection,
+                combine_upsample_fmaps=u.combine_upsample_fmaps,
+                memory_efficient=u.memory_efficient,
+                use_global_context=u.use_global_context,
+                pixel_shuffle_upsample=u.pixel_shuffle_upsample,
+                self_cond=u.self_cond,
+                cond_images_channels=u.cond_images_channels,
             )
         )
     cls = ElucidatedImagen if (cfg.type == "elucidated" or cfg.imagen.elucidated) else Imagen
@@ -129,6 +155,7 @@ def _build_cascade(cfg: RootConfig):
         noise_schedules=cfg.imagen.noise_schedules,
         pred_objectives=cfg.imagen.pred_objectives,
         cond_drop_prob=cfg.imagen.cond_drop_prob,
+        random_crop_sizes=cfg.imagen.random_crop_sizes,
     ), text_dim
 
 

@@ -83,6 +83,10 @@ class Imagen:
     cond_drop_prob: float = 0.1
     lowres_sample_noise_level: float = 0.2
     per_sample_random_aug_noise_level: bool = False
+    # random-crop training for SR stages (imagen_pytorch.py:3345,
+    # elucidated_imagen.py:118-120): train on aligned crops of the target
+    # and its lowres conditioning, sample at full size
+    random_crop_sizes: Optional[int | Sequence[Optional[int]]] = None
     dynamic_thresholding: bool | Sequence[bool] = True
     dynamic_thresholding_percentile: float = 0.95
     min_snr_gamma: Optional[float] = 5.0
@@ -95,6 +99,7 @@ class Imagen:
         self.noise_schedules = _cast_per_unet(self.noise_schedules, n)
         self.pred_objectives = _cast_per_unet(self.pred_objectives, n)
         self.dynamic_thresholding = _cast_per_unet(self.dynamic_thresholding, n)
+        self.random_crop_sizes = _cast_per_unet(self.random_crop_sizes, n)
         self.noise_schedulers = [
             ContinuousDiffusion(noise_schedule=s, num_timesteps=t)
             for s, t in zip(self.noise_schedules, self.timesteps)
@@ -104,6 +109,24 @@ class Imagen:
         self.lowres_noise_schedule = ContinuousDiffusion(noise_schedule="linear")
         self.loss_fn = _LOSSES[self.loss_type]
 
+
+    def _random_aligned_crop(self, rng: jax.Array, crop: int, *arrays):
+        """Same random crop window applied to every given array (the
+        reference crops the target and its lowres cond together,
+        imagen_pytorch.py:4337-4350)."""
+        ref = arrays[0]
+        h, w = ref.shape[-3], ref.shape[-2]
+        oy = jax.random.randint(rng, (), 0, h - crop + 1)
+        ox = jax.random.randint(jax.random.fold_in(rng, 1), (), 0, w - crop + 1)
+
+        def cut(a):
+            if a is None:
+                return None
+            starts = (0,) * (a.ndim - 3) + (oy, ox, 0)
+            sizes = a.shape[: a.ndim - 3] + (crop, crop, a.shape[-1])
+            return jax.lax.dynamic_slice(a, starts, sizes)
+
+        return tuple(cut(a) for a in arrays)
 
     def _resize(self, x, size: int):
         """Frame-aware resize: folds the frame axis for video batches
@@ -183,6 +206,11 @@ class Imagen:
             )
 
         x_start = self._resize(x_start, size)
+        crop = self.random_crop_sizes[unet_index]
+        if crop:
+            x_start, lowres_cond_img = self._random_aligned_crop(
+                jax.random.fold_in(r_aug, 99), crop, x_start, lowres_cond_img
+            )
         times = scheduler.sample_random_times(r_t, b)
         noise = jax.random.normal(r_noise, x_start.shape)
         x_noisy, log_snr, alpha, sigma = scheduler.q_sample(x_start, times, noise)
@@ -433,6 +461,11 @@ class ElucidatedImagen(Imagen):
             )
 
         x_start = self._resize(x_start, size)
+        crop = self.random_crop_sizes[unet_index]
+        if crop:
+            x_start, lowres_cond_img = self._random_aligned_crop(
+                jax.random.fold_in(r_aug, 99), crop, x_start, lowres_cond_img
+            )
         sigmas = cfg.noise_distribution(r_sigma, b)
         from ...core.schedules import right_pad_dims_to
 

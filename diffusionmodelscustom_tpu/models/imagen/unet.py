@@ -196,6 +196,7 @@ class TransformerBlock(nn.Module):
     pre-scaling q so the flash kernel's 1/sqrt(d) yields exactly 8."""
 
     n_heads: int = 8
+    head_dim: Optional[int] = None  # None -> c // n_heads (min 16)
     ff_mult: int = 2
     cosine_sim_attn: bool = False
     cosine_sim_scale: float = 8.0
@@ -206,7 +207,7 @@ class TransformerBlock(nn.Module):
         b, h, w, c = x.shape
         tokens = x.reshape(b, h * w, c)
         normed = nn.LayerNorm(dtype=self.dtype, name="attn_ln")(tokens)
-        head_dim = max(c // self.n_heads, 16)
+        head_dim = self.head_dim or max(c // self.n_heads, 16)
         inner = head_dim * self.n_heads
         qkv = nn.Dense(3 * inner, use_bias=False, dtype=self.dtype, name="qkv")(
             normed
@@ -263,6 +264,14 @@ class ImagenUNet(nn.Module):
     layer_attns: Sequence[bool] = (False, True, True)
     layer_cross_attns: Sequence[bool] = (False, True, True)
     attn_heads: int = 8
+    attn_dim_head: int = 64  # imagen Attention dim_head default
+    ff_mult: int = 2  # transformer FF expansion (imagen_pytorch.py:2103)
+    resnet_groups: int = 8  # GroupNorm groups in resnet blocks
+    init_conv_kernel_size: int = 7  # init conv kernel (:2418)
+    # extra full-width resnet block before the final conv (:3165-3180)
+    final_resnet_block: bool = True
+    # concat the init-conv features into the final conv input (:3162)
+    init_conv_to_final_conv_residual: bool = False
     # O(N) attention at levels without full attention / full cross-attn
     # (imagen_pytorch.py:1807,1881; Unet knobs use_linear_attn/
     # use_linear_cross_attn around :2370)
@@ -480,9 +489,12 @@ class ImagenUNet(nn.Module):
                 name="init_cross_embed",
             )(h)
         else:
+            ks = self.init_conv_kernel_size
             h = nn.Conv(
-                dims[0], (7, 7), padding=3, dtype=self.dtype, name="init_conv"
+                dims[0], (ks, ks), padding=ks // 2, dtype=self.dtype,
+                name="init_conv",
             )(h)
+        init_feats = h if self.init_conv_to_final_conv_residual else None
 
         skips = []
         for lvl in range(n_levels):
@@ -493,6 +505,7 @@ class ImagenUNet(nn.Module):
                     dims[lvl],
                     cond_dim=cond_dim if (use_cross or use_lin_cross) else None,
                     time_cond_dim=time_cond_dim,
+                    groups=self.resnet_groups,
                     use_global_context=self.use_global_context,
                     linear_cross_attn=use_lin_cross,
                     dtype=self.dtype,
@@ -506,6 +519,8 @@ class ImagenUNet(nn.Module):
             if self.layer_attns[lvl]:
                 h = TransformerBlock(
                     n_heads=self.attn_heads,
+                    head_dim=self.attn_dim_head,
+                    ff_mult=self.ff_mult,
                     cosine_sim_attn=self.cosine_sim_attn,
                     dtype=self.dtype,
                     name=f"down_{lvl}_attn",
@@ -535,6 +550,8 @@ class ImagenUNet(nn.Module):
         )(h, time_cond, context, context_mask)
         h = TransformerBlock(
             n_heads=self.attn_heads,
+            head_dim=self.attn_dim_head,
+            ff_mult=self.ff_mult,
             cosine_sim_attn=self.cosine_sim_attn,
             dtype=self.dtype,
             name="mid_attn",
@@ -572,6 +589,7 @@ class ImagenUNet(nn.Module):
                     dims[lvl],
                     cond_dim=cond_dim if (use_cross or use_lin_cross) else None,
                     time_cond_dim=time_cond_dim,
+                    groups=self.resnet_groups,
                     use_global_context=self.use_global_context,
                     linear_cross_attn=use_lin_cross,
                     dtype=self.dtype,
@@ -585,6 +603,8 @@ class ImagenUNet(nn.Module):
             if self.layer_attns[lvl]:
                 h = TransformerBlock(
                     n_heads=self.attn_heads,
+                    head_dim=self.attn_dim_head,
+                    ff_mult=self.ff_mult,
                     cosine_sim_attn=self.cosine_sim_attn,
                     dtype=self.dtype,
                     name=f"up_{lvl}_attn",
@@ -605,6 +625,17 @@ class ImagenUNet(nn.Module):
                 dtype=self.dtype,
                 name="upsample_combiner",
             )(h, up_hiddens[:-1])
+
+        if init_feats is not None:
+            h = jnp.concatenate([h, init_feats], axis=-1)
+        if self.final_resnet_block:
+            h = ResnetBlock(
+                dims[0],
+                time_cond_dim=time_cond_dim,
+                groups=self.resnet_groups,
+                dtype=self.dtype,
+                name="final_res_block",
+            )(h, time_cond)
 
         out = nn.Conv(
             self.channels_out or self.channels,

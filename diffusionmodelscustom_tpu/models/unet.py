@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from ..ops.attention import ImageSelfAttention
 from ..ops.embeddings import pos_encoding_block
+from ..ops.group_norm import GroupNorm1
 from ..ops.resize import resize_image, upsample_2x
 
 
@@ -43,15 +44,23 @@ class DoubleConv(nn.Module):
     num_groups: int = 1  # reference uses GroupNorm(1, ...) == LayerNorm-ish
     dtype: jnp.dtype = jnp.float32
 
+    def _norm(self, channels: int, name: str):
+        # GroupNorm(1) dominates HBM passes at full res; the fused Pallas
+        # kernel (ops/group_norm.py) keeps the sample in VMEM. Parameter
+        # names match nn.GroupNorm, so checkpoints are interchangeable.
+        if min(self.num_groups, channels) == 1:
+            return GroupNorm1(dtype=self.dtype, name=name)
+        return nn.GroupNorm(
+            num_groups=min(self.num_groups, channels), dtype=self.dtype, name=name
+        )
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mid = self.mid_channels or self.out_channels
         h = nn.Conv(
             mid, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv1"
         )(x)
-        h = nn.GroupNorm(
-            num_groups=min(self.num_groups, mid), dtype=self.dtype, name="gn1"
-        )(h)
+        h = self._norm(mid, "gn1")(h)
         h = nn.gelu(h)
         h = nn.Conv(
             self.out_channels,
@@ -61,11 +70,7 @@ class DoubleConv(nn.Module):
             dtype=self.dtype,
             name="conv2",
         )(h)
-        h = nn.GroupNorm(
-            num_groups=min(self.num_groups, self.out_channels),
-            dtype=self.dtype,
-            name="gn2",
-        )(h)
+        h = self._norm(self.out_channels, "gn2")(h)
         if self.residual:
             return nn.gelu(x + h)
         return h

@@ -28,6 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 _NEG_INF = -1e30
+# softmax in base 2: the VPU evaluates exp2 cheaper than exp, and at
+# D=128 the forward is exp-bound (B*H*S^2 exps vs the matmuls' MXU time).
+# exp(x) == exp2(x * log2(e)); the log2(e) factor is folded into sm_scale.
+_LOG2_E = 1.4426950408889634
 
 
 def _flash_kernel(
@@ -54,19 +58,21 @@ def _flash_kernel(
     k = k_ref[0]  # (BK, D)
     v = v_ref[0]  # (BK, D)
 
-    s = sm_scale * jax.lax.dot_general(
+    # base-2 softmax: s2 = logits * log2(e); p = exp2(s2 - m2) == softmax
+    # numerator in base e (exp2 is the cheap VPU transcendental)
+    s2 = (sm_scale * _LOG2_E) * jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BQ, BK) f32
 
-    m_prev = m_scr[:]  # (BQ, 1)
+    m_prev = m_scr[:]  # (BQ, 1), base-2 running max
     l_prev = l_scr[:]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_cur = jnp.max(s2, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s2 - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype),
@@ -80,9 +86,9 @@ def _flash_kernel(
     @pl.when(kb == nk - 1)
     def _finalize():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
-        # LSE is per-row but TPU blocks need a 128-lane last dim; replicate
-        # across lanes (the backward reads lane 0)
-        lse = m_scr[:] + jnp.log(l_scr[:])  # (BQ, 1)
+        # LSE in base e (backward contract); per-row but TPU blocks need a
+        # 128-lane last dim, so replicate across lanes (backward reads lane 0)
+        lse = (m_scr[:] + jnp.log2(l_scr[:])) / _LOG2_E  # (BQ, 1)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
@@ -157,10 +163,10 @@ def _flash_bwd_dkv_kernel(
     lse = lse_ref[0][:, :1]  # (BQ, 1) — lane-replicated input
     delta = delta_ref[0][:, :1]  # (BQ, 1)
 
-    s = sm_scale * jax.lax.dot_general(
+    s2 = (sm_scale * _LOG2_E) * jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (BQ, BK) f32
-    p = jnp.exp(s - lse)
+    )  # (BQ, BK) f32, base-2 domain
+    p = jnp.exp2(s2 - lse * _LOG2_E)
     p_lo = p.astype(v.dtype)
     # dV += P^T dO
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
@@ -202,10 +208,10 @@ def _flash_bwd_dq_kernel(
     lse = lse_ref[0][:, :1]
     delta = delta_ref[0][:, :1]
 
-    s = sm_scale * jax.lax.dot_general(
+    s2 = (sm_scale * _LOG2_E) * jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s2 - lse * _LOG2_E)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )

@@ -108,3 +108,55 @@ class TestProfiling:
                 pass
         assert t.count == 3
         assert np.isfinite(t.steps_per_sec)
+
+
+def test_reference_default_config_roundtrips():
+    # The reference's shipped default_config.json (3-unet 64->256->1024
+    # cascade, default_config.json:1-49) must parse into our schema and
+    # build a cascade with random-crop SR training configured.
+    import json as _json
+    import pathlib
+
+    from diffusionmodelscustom_tpu.cli.imagen_cli import RootConfig, _build_cascade
+
+    ref = pathlib.Path("/root/reference/CascadedDDPM/default_config.json")
+    if not ref.exists():
+        import pytest
+
+        pytest.skip("reference tree not mounted")
+    cfg = RootConfig(**_json.loads(ref.read_text()))
+    assert cfg.imagen.image_sizes == [64, 256, 1024]
+    assert cfg.imagen.random_crop_sizes == [None, 64, 256]
+    assert cfg.imagen.text_encoder_name == "google/t5-v1_1-large"
+    cascade, text_dim = _build_cascade(cfg)
+    assert len(cascade.unets) == 3
+    assert cascade.random_crop_sizes == [None, 64, 256]
+    assert text_dim == 1024  # t5-v1_1-large
+    assert cascade.unets[1].lowres_cond and not cascade.unets[0].lowres_cond
+    # roundtrip through json
+    again = RootConfig(**_json.loads(cfg.model_dump_json()))
+    assert again.imagen.unets[0].dim == 512
+
+
+def test_new_unet_knobs_flow_through_config():
+    from diffusionmodelscustom_tpu.cli.imagen_cli import (
+        RootConfig, UnetConfig, ImagenConfigSchema, _build_cascade,
+    )
+
+    cfg = RootConfig(
+        imagen=ImagenConfigSchema(
+            image_sizes=[16],
+            unets=[UnetConfig(
+                dim=16, dim_mults=[1, 2], num_resnet_blocks=1,
+                layer_attns=[False, True], layer_cross_attns=[False, True],
+                use_linear_attn=[True, False], cosine_sim_attn=True,
+                scale_skip_connection=True, combine_upsample_fmaps=True,
+                attn_heads=2,
+            )],
+        )
+    )
+    cascade, _ = _build_cascade(cfg)
+    u = cascade.unets[0]
+    assert u.cosine_sim_attn and u.scale_skip_connection
+    assert u.combine_upsample_fmaps
+    assert tuple(u.use_linear_attn) == (True, False)

@@ -248,3 +248,54 @@ class TestThreadedLoader:
         t0 = time.perf_counter(); _ = list(serial); ts = time.perf_counter() - t0
         t0 = time.perf_counter(); _ = list(threaded); tt = time.perf_counter() - t0
         assert tt < ts * 5  # no deadlocks / pathological overhead
+
+
+class TestCutoutSDFExactness:
+    """Round-1 weak #8: the dataset crops one precomputed full-domain EDT
+    instead of recomputing the EDT per cutout (the reference's per-sample
+    path, data_DANRA_conditional.py:82-92). Quantify when they agree."""
+
+    def _field(self, seed=0, size=96):
+        rng = np.random.default_rng(seed)
+        lsm = np.zeros((size, size), np.float32)
+        # scattered land blobs so every window contains some land
+        for _ in range(25):
+            y, x = rng.integers(8, size - 8, 2)
+            lsm[y - 3 : y + 3, x - 3 : x + 3] = 1.0
+        return lsm
+
+    def test_interior_window_is_exact(self):
+        from diffusionmodelscustom_tpu.data.geo import generate_sdf, normalize_sdf
+
+        lsm = self._field()
+        full = generate_sdf(lsm)
+        # RAW (pre-normalization) SDF: pixels whose nearest land lies
+        # within the window margin must agree exactly between crop-of-full
+        # and per-window EDT; normalization constants differ only via
+        # boundary pixels (documented approximation)
+        y1, y2, x1, x2 = 24, 72, 24, 72
+        crop_of_full = full[y1:y2, x1:x2]
+        recomputed = generate_sdf(lsm[y1:y2, x1:x2])
+        # local distance-to-land from the per-window EDT
+        dist = 10.0 * (lsm[y1:y2, x1:x2] > 0) - recomputed
+        margin = 12
+        inner = np.zeros((y2 - y1, x2 - x1), bool)
+        inner[margin:-margin, margin:-margin] = True
+        guaranteed = inner & (dist < margin)
+        assert guaranteed.sum() > 100  # the comparison is non-vacuous
+        np.testing.assert_allclose(
+            crop_of_full[guaranteed], recomputed[guaranteed], atol=1e-5
+        )
+
+    def test_boundary_error_is_bounded_and_documented(self):
+        from diffusionmodelscustom_tpu.data.geo import generate_sdf, normalize_sdf
+
+        lsm = self._field(seed=3)
+        full = generate_sdf(lsm)
+        y1, y2, x1, x2 = 0, 48, 0, 48  # corner window
+        a = normalize_sdf(full[y1:y2, x1:x2])
+        b = normalize_sdf(generate_sdf(lsm[y1:y2, x1:x2]))
+        # full-domain crop sees land OUTSIDE the window -> distances can
+        # only be smaller-or-equal; after normalization differences stay
+        # modest for windows containing land
+        assert np.mean(np.abs(a - b)) < 0.15

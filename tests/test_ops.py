@@ -144,3 +144,69 @@ class TestNormsResize:
         x = jnp.array([[1.0, 2.0], [3.0, 4.0]]).reshape(1, 2, 2, 1)
         y = resize_image(x, 4, 4)
         assert float(y.min()) >= 1.0 and float(y.max()) <= 4.0
+
+
+class TestFusedGroupNorm:
+    def test_matches_flax_groupnorm_interpret(self):
+        from flax import linen as nn
+        from jax.experimental.pallas import tpu as pltpu
+
+        from diffusionmodelscustom_tpu.ops.group_norm import _gn1
+
+        x = jax.random.normal(jax.random.key(0), (3, 8, 8, 64)) * 2 + 1
+        gamma = jax.random.normal(jax.random.key(1), (64,)) * 0.1 + 1
+        beta = jax.random.normal(jax.random.key(2), (64,)) * 0.1
+
+        ref_mod = nn.GroupNorm(num_groups=1)
+        ref = ref_mod.apply(
+            {"params": {"scale": gamma, "bias": beta}}, x
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = _gn1(x, gamma, beta, 1e-5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_gradients_match_interpret(self):
+        from flax import linen as nn
+        from jax.experimental.pallas import tpu as pltpu
+
+        from diffusionmodelscustom_tpu.ops.group_norm import _gn1
+
+        # per-sample elements must give >= 8 rows of 128 lanes (the
+        # wrapper's fused-path gate; blocks need 8 sublanes minimum)
+        x = jax.random.normal(jax.random.key(0), (2, 8, 8, 32))
+        gamma = jnp.ones((32,)) * 1.3
+        beta = jnp.zeros((32,))
+        ref_mod = nn.GroupNorm(num_groups=1)
+
+        def loss_ref(x, g, b):
+            y = ref_mod.apply({"params": {"scale": g, "bias": b}}, x)
+            return jnp.sum(y * y * 0.5 + y)
+
+        def loss_fused(x, g, b):
+            y = _gn1(x, g, b, 1e-5)
+            return jnp.sum(y * y * 0.5 + y)
+
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_fused, argnums=(0, 1, 2))(x, gamma, beta)
+        for g, w, name in zip(got, want, ("dx", "dgamma", "dbeta")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-4,
+                err_msg=name,
+            )
+
+    def test_fallback_for_nondividing_channels(self):
+        from diffusionmodelscustom_tpu.ops.group_norm import fused_group_norm1
+
+        x = jax.random.normal(jax.random.key(0), (2, 4, 4, 48))  # 48 !| 128
+        out = fused_group_norm1(x, jnp.ones((48,)), jnp.zeros((48,)))
+        m = float(np.asarray(out).mean())
+        assert abs(m) < 1e-5  # normalized
+
+    def test_wrapper_param_names_match_groupnorm(self):
+        from diffusionmodelscustom_tpu.ops.group_norm import GroupNorm1
+
+        m = GroupNorm1()
+        params = m.init(jax.random.key(0), jnp.zeros((1, 4, 4, 32)))
+        assert set(params["params"].keys()) == {"scale", "bias"}
