@@ -176,7 +176,7 @@ def bench_cascade():
         unets=unets, image_sizes=(64, 128), channels=3,
         edm=EDMConfig(num_sample_steps=32),
     )
-    batch = 4
+    batch = 16  # small batches under-utilize the MXU on the tiny test dims
     rng = jax.random.key(0)
     params = [
         cascade.init_unet_params(i, jax.random.fold_in(rng, i), text_embed_dim=text_dim)

@@ -25,6 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exceedance threshold for Heidke/Peirce skill")
     p.add_argument("--bins", type=int, default=50)
     p.add_argument("--out", type=str, default=None, help="write JSON report here")
+    p.add_argument(
+        "--against_reference",
+        action="store_true",
+        help="also print the reference variants' gen-vs-truth scorecards "
+             "(final_generated_samples yardstick) for side-by-side reading",
+    )
     return p
 
 
@@ -65,6 +71,24 @@ def main(argv=None) -> int:
     report["distribution_overlap"] = float(
         np.sum(np.minimum(hist_gen, hist_ref) * widths)
     )
+    # distribution distances + FID (the reference's TODO list, :251-257)
+    from ..evaluation.fid import fid
+    from ..evaluation.parity import parity_scorecard
+
+    card = parity_scorecard(gen, ref, lsm)
+    for key in ("wasserstein1", "ks", "crps", "frac_outside_truth_range"):
+        report[key] = card[key]
+    report["fid"] = fid(gen, ref)
+
+    if args.against_reference:
+        from ..evaluation.parity import REFERENCE_SAMPLES_DIR, reference_yardstick
+
+        if REFERENCE_SAMPLES_DIR.exists():
+            report["reference_yardstick"] = {
+                variant: {k: round(float(v), 4) for k, v in c.items()}
+                for variant, c in reference_yardstick().items()
+            }
+
     report = {k: (round(v, 6) if isinstance(v, float) else v) for k, v in report.items()}
     text = json.dumps(report, indent=2)
     print(text)

@@ -189,6 +189,48 @@ def peirce_skill_score(
     return float((a * d - b * c) / denom)
 
 
+def spatial_bias(gen: np.ndarray, ref: np.ndarray, mask=None) -> np.ndarray:
+    """Per-pixel mean bias map (H, W) — 'bias per pixel (spatial bias)'
+    from the reference's planned-metrics list
+    (evaluation_DANRA_conditional.py:251-257). Masked pixels are NaN."""
+    diff = np.asarray(gen, np.float64) - np.asarray(ref, np.float64)
+    out = diff.mean(axis=0)
+    if mask is not None:
+        m = np.asarray(mask)
+        m2d = m if m.ndim == 2 else m.reshape(m.shape[0], *m.shape[1:]).mean(0) > 0.5
+        out = np.where(np.asarray(m2d, bool), out, np.nan)
+    return out
+
+
+def temporal_bias(gen: np.ndarray, ref: np.ndarray, mask=None) -> np.ndarray:
+    """Per-sample mean bias series (N,) — 'bias per image (temporal
+    bias)'."""
+    diff = _maskify(
+        np.asarray(gen, np.float64) - np.asarray(ref, np.float64), mask
+    )
+    return np.asarray(diff.reshape(diff.shape[0], -1).mean(axis=1))
+
+
+def extreme_value_stats(
+    x: np.ndarray,
+    mask=None,
+    quantiles=(0.9, 0.95, 0.99, 0.999),
+) -> Dict[str, float]:
+    """Upper-tail return levels — the 'EV analysis' item from the
+    reference's planned-metrics list. Returns {q<percentile>: level} plus
+    the block maxima mean (per-sample max, the GEV location proxy)."""
+    vals = _maskify(np.asarray(x, np.float64), mask)
+    flat = vals.compressed() if np.ma.isMaskedArray(vals) else np.ravel(vals)
+    out = {f"q{q}": float(np.quantile(flat, q)) for q in quantiles}
+    per_sample_max = (
+        vals.reshape(vals.shape[0], -1).max(axis=1)
+        if x.ndim >= 3
+        else np.max(flat, keepdims=True)
+    )
+    out["block_maxima_mean"] = float(np.mean(per_sample_max))
+    return out
+
+
 def evaluate_fields(
     gen: np.ndarray,
     ref: np.ndarray,
@@ -229,6 +271,9 @@ def evaluate_fields(
 
 __all__ = [
     "masked_mae",
+    "spatial_bias",
+    "temporal_bias",
+    "extreme_value_stats",
     "masked_rmse",
     "daily_errors",
     "pixel_errors",

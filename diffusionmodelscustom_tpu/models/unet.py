@@ -30,7 +30,6 @@ from flax import linen as nn
 
 from ..ops.attention import ImageSelfAttention
 from ..ops.embeddings import pos_encoding_block
-from ..ops.group_norm import GroupNorm1
 from ..ops.resize import resize_image, upsample_2x
 
 
@@ -45,11 +44,12 @@ class DoubleConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _norm(self, channels: int, name: str):
-        # GroupNorm(1) dominates HBM passes at full res; the fused Pallas
-        # kernel (ops/group_norm.py) keeps the sample in VMEM. Parameter
-        # names match nn.GroupNorm, so checkpoints are interchangeable.
-        if min(self.num_groups, channels) == 1:
-            return GroupNorm1(dtype=self.dtype, name=name)
+        # Measured (v5e, round 2): swapping in the fused Pallas GroupNorm1
+        # (ops/group_norm.py) REGRESSED the 128px train step 13.1 -> 9.9
+        # steps/s — XLA fuses the norm into the neighboring convs' prologue
+        # /epilogue, which beats the isolated-kernel win; the opaque
+        # pallas_call blocks that fusion. Keep XLA's GroupNorm here; the
+        # fused op remains available for standalone-norm workloads.
         return nn.GroupNorm(
             num_groups=min(self.num_groups, channels), dtype=self.dtype, name=name
         )

@@ -1,5 +1,13 @@
 """Fused GroupNorm(num_groups=1) Pallas kernel.
 
+MEASURED OUTCOME (v5e, round 2): in isolation this kernel beats XLA's
+GroupNorm realization, but swapping it into the flagship's DoubleConv
+REGRESSED the full 128px train step 13.1 -> 9.9 steps/s — XLA fuses the
+norm's elementwise tail into the neighboring convs, which an opaque
+pallas_call prevents. The flagship therefore keeps nn.GroupNorm; this op
+stays in the library for standalone whole-map normalization workloads
+(and as the measured record of the experiment).
+
 The flagship's DoubleConv normalizes the WHOLE feature map per sample
 (GroupNorm(1) == the reference's nn.GroupNorm(1, ch), src/unet_ms.py:30-49).
 XLA realizes that as separate stat-reduction and normalize passes —

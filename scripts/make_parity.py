@@ -33,12 +33,17 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-VARIANT = (
+VARIANTS = [
+    # primary: ERA5-conditioned, sdf-weighted (the flagship experiment)
     "DDPM_conditional_ERA5__temp__64x64__ERA5_cond_lsm_topo_random__"
-    "sdfweighted__4_seasons_ValidSplitInTime_9yrs_ValLoss"
-)
+    "sdfweighted__4_seasons_ValidSplitInTime_9yrs_ValLoss",
+    # secondary: uniform (mean-image) conditioning
+    "DDPM_conditional_uniform__temp__64x64__uniform_cond_lsm_topo_random__"
+    "sdfweighted__4_seasons_ValidSplitInTime_9yrs",
+]
+VARIANT = VARIANTS[0]
 N_TIMESTEPS = 800  # the reference's T (ddpm_DANRA_conditional_wValid.py:198)
-TRAIN_STEPS = 3000
+TRAIN_STEPS = 6000
 BATCH = 20
 DATA_MIN, DATA_MAX = -15.0, 30.0  # Celsius scale range for [-1, 1]
 
@@ -82,80 +87,86 @@ def main():
             f"w1={card['wasserstein1']:.2f} fid={card['fid']:.2f}")
 
     # ---- 2. our side -----------------------------------------------------
-    b = bundles[VARIANT]
-    truth = b["eval"]  # (100, 64, 64) Celsius
-    lsm = b["lsm"]
-    cond = np.clip(b["cond"], -40.0, 40.0)  # ERA5 cond, -273.15 fills clipped
-    season = b["season"].astype(np.int32)
-    sdf = np.stack([normalize_sdf(generate_sdf(m)) for m in (lsm > 0.5)])
+    def run_variant(variant: str):
+        b = bundles[variant]
+        truth = b["eval"]  # (100, 64, 64) Celsius
+        lsm = b["lsm"]
+        cond = np.clip(b["cond"], -40.0, 40.0)
+        season = b["season"].astype(np.int32)
+        sdf = np.stack([normalize_sdf(generate_sdf(m)) for m in (lsm > 0.5)])
 
-    batch_all = {
-        "img": scale(truth)[..., None].astype(np.float32),
-        "img_cond": scale(cond)[..., None].astype(np.float32),
-        "lsm": lsm[..., None].astype(np.float32),
-        "topo": np.zeros_like(lsm)[..., None].astype(np.float32),
-        "classifier": season,
-        "sdf": sdf[..., None].astype(np.float32),
-    }
+        batch_all = {
+            "img": scale(truth)[..., None].astype(np.float32),
+            "img_cond": scale(cond)[..., None].astype(np.float32),
+            "lsm": lsm[..., None].astype(np.float32),
+            "topo": np.zeros_like(lsm)[..., None].astype(np.float32),
+            "classifier": season,
+            "sdf": sdf[..., None].astype(np.float32),
+        }
 
-    model = ConditionalUNet(
-        out_channels=1, base_channels=64, time_dim=256, n_heads=4,
-        num_classes=4, cond_img_channels=1, cond_on_lsm=True,
-        cond_on_topo=True, attention_levels=(1, 2, 3),
-        attention_levels_up=(2, 1), dtype=jnp.bfloat16,
-    )
-    diffusion = GaussianDiffusion.create(
-        n_timesteps=N_TIMESTEPS, beta_min=1e-4, beta_max=0.02, scheduler="linear"
-    )
-    trainer = Trainer(
-        model, diffusion,
-        TrainerConfig(loss="sdfweighted", learning_rate=3e-4, ema=True,
-                      num_classes=4, cfg_dropout_prob=0.0),
-    )
-    rng = jax.random.key(0)
-    first = {k: v[:BATCH] for k, v in batch_all.items()}
-    state = trainer.init_state(rng, first)
-
-    log("training...")
-    t0 = time.time()
-    n = len(truth)
-    order_rng = np.random.default_rng(0)
-    for step in range(TRAIN_STEPS):
-        idx = order_rng.choice(n, BATCH, replace=False)
-        batch = {k: v[idx] for k, v in batch_all.items()}
-        state, m = trainer.train_step(state, batch, jax.random.fold_in(rng, step))
-        if step % 500 == 0:
-            loss = float(jax.device_get(m["loss"]))
-            log(f"  step {step}: loss={loss:.4f} ({time.time() - t0:.0f}s)")
-    log(f"trained {TRAIN_STEPS} steps in {time.time() - t0:.0f}s")
-
-    # sample 100 fields with the matched conditioning, EMA params
-    params = state.ema_params if state.ema_params is not None else state.params
-    gens = []
-    t0 = time.time()
-    chunk = 25
-    for start in range(0, n, chunk):
-        sl = slice(start, start + chunk)
-        cb = {k: jnp.asarray(v[sl]) for k, v in batch_all.items()}
-
-        def denoise(x, t):
-            return model.apply(
-                {"params": params}, x, t, cb["classifier"], cb["img_cond"],
-                cb["lsm"], cb["topo"],
-            )
-
-        out = ancestral_sample(
-            denoise, diffusion, jax.random.fold_in(jax.random.key(7), start),
-            (cb["img"].shape[0], 64, 64, 1),
+        model = ConditionalUNet(
+            out_channels=1, base_channels=64, time_dim=256, n_heads=4,
+            num_classes=4, cond_img_channels=1, cond_on_lsm=True,
+            cond_on_topo=True, attention_levels=(1, 2, 3),
+            attention_levels_up=(2, 1), dtype=jnp.bfloat16,
         )
-        gens.append(np.asarray(jax.device_get(out))[..., 0])
-        log(f"  sampled {start + len(gens[-1])}/{n} ({time.time() - t0:.0f}s)")
-    gen = unscale(np.concatenate(gens))
+        diffusion = GaussianDiffusion.create(
+            n_timesteps=N_TIMESTEPS, beta_min=1e-4, beta_max=0.02,
+            scheduler="linear",
+        )
+        trainer = Trainer(
+            model, diffusion,
+            TrainerConfig(loss="sdfweighted", learning_rate=3e-4, ema=True,
+                          num_classes=4, cfg_dropout_prob=0.0,
+                          lr_scheduler="warmup_cosine", warmup_steps=300,
+                          total_steps=TRAIN_STEPS),
+        )
+        rng = jax.random.key(0)
+        state = trainer.init_state(rng, {k: v[:BATCH] for k, v in batch_all.items()})
 
-    ours = parity_scorecard(gen, truth, lsm)
-    ours["fid"] = fid(gen, truth)
-    log(f"[ours] rmse={ours['rmse']:.2f} w1={ours['wasserstein1']:.2f} "
-        f"fid={ours['fid']:.2f}")
+        log(f"training {variant.split('__')[0]}...")
+        t0 = time.time()
+        n = len(truth)
+        order_rng = np.random.default_rng(0)
+        for step in range(TRAIN_STEPS):
+            idx = order_rng.choice(n, BATCH, replace=False)
+            batch = {k: v[idx] for k, v in batch_all.items()}
+            state, m = trainer.train_step(state, batch, jax.random.fold_in(rng, step))
+            if step % 1000 == 0:
+                log(f"  step {step}: loss={float(jax.device_get(m['loss'])):.4f}"
+                    f" ({time.time() - t0:.0f}s)")
+        log(f"trained {TRAIN_STEPS} steps in {time.time() - t0:.0f}s")
+
+        params = state.ema_params if state.ema_params is not None else state.params
+        gens = []
+        t0 = time.time()
+        chunk = 25
+        for start in range(0, n, chunk):
+            sl = slice(start, start + chunk)
+            cb = {k: jnp.asarray(v[sl]) for k, v in batch_all.items()}
+
+            def denoise(x, t):
+                return model.apply(
+                    {"params": params}, x, t, cb["classifier"], cb["img_cond"],
+                    cb["lsm"], cb["topo"],
+                )
+
+            out = ancestral_sample(
+                denoise, diffusion, jax.random.fold_in(jax.random.key(7), start),
+                (cb["img"].shape[0], 64, 64, 1),
+            )
+            gens.append(np.asarray(jax.device_get(out))[..., 0])
+        log(f"sampled {n} in {time.time() - t0:.0f}s")
+        gen = unscale(np.concatenate(gens))
+
+        card = parity_scorecard(gen, truth, lsm)
+        card["fid"] = fid(gen, truth)
+        log(f"[ours/{variant.split('__')[0]}] rmse={card['rmse']:.2f} "
+            f"w1={card['wasserstein1']:.2f} fid={card['fid']:.2f}")
+        return card
+
+    ours_cards = {v: run_variant(v) for v in VARIANTS}
+    ours = ours_cards[VARIANT]
 
     # ---- 3. write PARITY.md ---------------------------------------------
     ref_card = yardstick[VARIANT]
@@ -198,42 +209,48 @@ def main():
         "distribution distances above are the bar to beat, not a gold",
         "standard.",
         "",
-        "## 2. Our side (flagship UNet, same protocol)",
+        "## 2. Our side (flagship UNet, same protocol, per variant)",
         "",
-        f"Trained on the {VARIANT.split('__')[0]} variant's 100 real DANRA",
-        f"eval fields ({TRAIN_STEPS} steps, batch {BATCH}, sdf-weighted loss,",
+        f"For each variant: trained on its 100 real DANRA eval fields",
+        f"({TRAIN_STEPS} steps, batch {BATCH}, sdf-weighted loss,",
         f"T={N_TIMESTEPS} linear schedule — the reference's own config),",
-        "then sampled 100 fields with MATCHED conditioning (same ERA5 cond",
-        "images, lsm, season labels) through the 800-step ancestral sampler.",
-        "Small-data regime: validates pipeline calibration, not",
-        "generalization.",
+        "then sampled 100 fields with MATCHED conditioning through the",
+        "800-step ancestral sampler. Small-data regime: validates pipeline",
+        "calibration, not generalization.",
         "",
-        "| metric | reference gen | OURS | truth-vs-itself ideal |",
-        "|---|---|---|---|",
     ]
-    for key, label in cols:
-        ideal = 0.0 if key != "morans_i_gen" else ref_card.get("morans_i_ref", 0)
-        lines.append(
-            f"| {label} | {ref_card[key]:.3f} | {ours[key]:.3f} | {ideal:.3f} |"
+    total_better = 0
+    total_metrics = 0
+    for v in VARIANTS:
+        rc, oc = yardstick[v], ours_cards[v]
+        short = v.split("__")[0]
+        lines += [
+            f"### {short}",
+            "",
+            "| metric | reference gen | OURS | truth-vs-itself ideal |",
+            "|---|---|---|---|",
+        ]
+        for key, label in cols:
+            ideal = 0.0 if key != "morans_i_gen" else rc.get("morans_i_ref", 0)
+            lines.append(
+                f"| {label} | {rc[key]:.3f} | {oc[key]:.3f} | {ideal:.3f} |"
+            )
+        better = sum(
+            1 for key, _ in cols
+            if key != "morans_i_gen" and abs(oc[key]) <= abs(rc[key]) + 1e-9
         )
-    better = sum(
-        1 for key, _ in cols
-        if key != "morans_i_gen"
-        and abs(ours[key]) <= abs(ref_card[key]) + 1e-9
-    )
+        total_better += better
+        total_metrics += len(cols) - 1
+        lines += ["", f"Matches or beats the reference on {better}/{len(cols) - 1}.", ""]
     lines += [
-        "",
-        f"Ours matches or beats the reference on {better}/{len(cols) - 1}",
-        "distributional metrics (Moran's I compared against the truth's own",
-        f"value {ref_card.get('morans_i_ref', float('nan')):.3f}).",
-        "",
-        "Generated by `scripts/make_parity.py` (exact protocol in its",
-        "docstring); raw scorecards in `PARITY.json`.",
+        f"**Overall: {total_better}/{total_metrics} metric comparisons won or",
+        "tied across variants.** Generated by `scripts/make_parity.py`; raw",
+        "scorecards in `PARITY.json`.",
         "",
     ]
     (REPO / "PARITY.md").write_text("\n".join(lines))
     (REPO / "PARITY.json").write_text(
-        json.dumps({"yardstick": yardstick, "ours": ours}, indent=1, default=float)
+        json.dumps({"yardstick": yardstick, "ours": ours_cards}, indent=1, default=float)
     )
     log("wrote PARITY.md / PARITY.json")
 

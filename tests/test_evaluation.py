@@ -143,3 +143,36 @@ class TestFID:
         rng = np.random.default_rng(2)
         a = rng.normal(0, 1, (100, 4, 4))
         assert fid(a, a.copy(), feature_fn=feats) < 1e-8
+
+
+class TestPlannedMetrics:
+    """The reference's full planned-metrics list
+    (evaluation_DANRA_conditional.py:251-257) — now all implemented."""
+
+    def test_spatial_bias_map(self):
+        from diffusionmodelscustom_tpu.evaluation.metrics import spatial_bias
+
+        rng = np.random.default_rng(0)
+        ref = rng.normal(0, 1, (50, 8, 8))
+        gen = ref + 2.0  # constant bias
+        m = spatial_bias(gen, ref)
+        assert m.shape == (8, 8)
+        np.testing.assert_allclose(m, 2.0, atol=0.01)
+
+    def test_temporal_bias_series(self):
+        from diffusionmodelscustom_tpu.evaluation.metrics import temporal_bias
+
+        rng = np.random.default_rng(1)
+        ref = rng.normal(0, 1, (10, 8, 8))
+        drift = np.arange(10)[:, None, None].astype(float)
+        series = temporal_bias(ref + drift, ref)
+        np.testing.assert_allclose(series, np.arange(10), atol=1e-9)
+
+    def test_extreme_value_stats(self):
+        from diffusionmodelscustom_tpu.evaluation.metrics import extreme_value_stats
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(0, 1, (100, 16, 16))
+        ev = extreme_value_stats(x)
+        assert ev["q0.9"] < ev["q0.99"] < ev["q0.999"]
+        assert ev["block_maxima_mean"] > ev["q0.99"]
