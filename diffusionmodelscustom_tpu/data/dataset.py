@@ -83,6 +83,10 @@ class DanraDatasetConfig:
     cutout_domains: Optional[Sequence[int]] = None  # [x1, x2, y1, y2]
     cutout_size: Optional[int] = None  # defaults to data_size[0]
     n_samples: Optional[int] = None
+    # raw full-domain day-field cache entries (img + cond each); at DANRA
+    # full-domain size (589x789 f32 ~ 1.9 MB/field) 1024 entries ~ 1.9 GB
+    # per kind — size to the host
+    field_cache_entries: int = 1024
     sdf_weighted_loss: bool = False
     shuffle: bool = False
     seed: int = 0
@@ -159,7 +163,7 @@ class DanraDataset:
         # epochs re-read every day; profiling showed per-access np.load /
         # memmap open + Kelvin conversion dominating the loader
         self._field_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
-        self._field_cache_size = 1024
+        self._field_cache_size = max(0, config.field_cache_entries)
         # guards the shared rng and the cache so threaded loaders
         # (BatchLoader num_workers > 1) can fetch samples concurrently —
         # the thread-safe replacement for the reference's unsynchronized
@@ -188,10 +192,11 @@ class DanraDataset:
                 self._field_cache.move_to_end(key)
                 return self._field_cache[key]
         value = np.ascontiguousarray(produce(), np.float32)
-        with self._lock:
-            if len(self._field_cache) >= self._field_cache_size:
-                self._field_cache.popitem(last=False)
-            self._field_cache[key] = value
+        if self._field_cache_size > 0:
+            with self._lock:
+                if len(self._field_cache) >= self._field_cache_size:
+                    self._field_cache.popitem(last=False)
+                self._field_cache[key] = value
         return value
 
     def _load_image(self, file_name: str) -> np.ndarray:

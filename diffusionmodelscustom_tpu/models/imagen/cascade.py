@@ -330,11 +330,14 @@ class Imagen:
             ip = inpaint_images
             if self.auto_normalize_img:
                 ip = normalize_neg_one_to_one(ip)
+            # re-binarize after the float resize (the reference casts
+            # .bool(), elucidated_imagen.py:462): hard known-region select
+            resized_mask = (
+                self._resize(inpaint_masks.astype(jnp.float32), size) > 0.5
+            ).astype(jnp.float32)
             inpaint_kw = dict(
                 inpaint_images=self._resize(ip, size),
-                inpaint_masks=self._resize(
-                    inpaint_masks.astype(jnp.float32), size
-                ),
+                inpaint_masks=resized_mask,
                 resample_times=inpaint_resample_times,
             )
         return p_sample_loop_continuous(
@@ -367,6 +370,10 @@ class Imagen:
         """Walk the cascade (imagen_pytorch.py:4007-4280): each stage
         samples at its resolution, conditioning on the previous stage's
         output resized + re-noised at ``lowres_sample_noise_level``."""
+        assert (inpaint_images is None) == (inpaint_masks is None), (
+            "inpaint_images and inpaint_masks must be given together "
+            "(elucidated_imagen.py:613 asserts the same)"
+        )
         img = start_image_or_video
         n = len(self.unets)
         for idx in range(start_at_unet_number - 1, n):
@@ -554,9 +561,12 @@ class ElucidatedImagen(Imagen):
             ip = inpaint_images
             if self.auto_normalize_img:
                 ip = normalize_neg_one_to_one(ip)
+            resized_mask = (
+                self._resize(inpaint_masks.astype(jnp.float32), size) > 0.5
+            ).astype(jnp.float32)
             inpaint_kw = dict(
                 inpaint_images=self._resize(ip, size),
-                inpaint_masks=self._resize(inpaint_masks.astype(jnp.float32), size),
+                inpaint_masks=resized_mask,
                 resample_times=inpaint_resample_times,
             )
 

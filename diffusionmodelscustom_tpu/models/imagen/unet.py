@@ -327,6 +327,7 @@ class ImagenUNet(nn.Module):
 
         # ---- channel concat of conditioning images ----------------------
         parts = [x.astype(self.dtype)]
+        lowres_for_head = None  # re-concatenated before final_conv (:3186)
         if self.lowres_cond:
             lr = (
                 jnp.zeros_like(x)
@@ -335,7 +336,8 @@ class ImagenUNet(nn.Module):
             )
             if lr.shape[1:3] != (h_in, w_in):
                 lr = resize_image(lr, h_in, w_in)
-            parts.append(lr.astype(self.dtype))
+            lowres_for_head = lr.astype(self.dtype)
+            parts.append(lowres_for_head)
         if self.self_cond:
             sc = jnp.zeros_like(x) if self_cond is None else self_cond
             parts.append(sc.astype(self.dtype))
@@ -616,15 +618,18 @@ class ImagenUNet(nn.Module):
             up_hiddens.append(h)
 
         if self.combine_upsample_fmaps:
-            # decoder fmaps were appended coarsest-first; last is full-res
+            # ALL decoder-level fmaps feed the combiner, including the
+            # full-res one (the reference appends every level's map before
+            # its upsample and passes the whole list, imagen_pytorch.py:
+            # 3171-3175 + upsample_fmap_dims at :2715)
             h = UpsampleCombiner(
                 dim=dims[0],
                 enabled=True,
-                dim_ins=tuple(x.shape[-1] for x in up_hiddens[:-1]),
+                dim_ins=tuple(x.shape[-1] for x in up_hiddens),
                 dim_outs=self.dim,
                 dtype=self.dtype,
                 name="upsample_combiner",
-            )(h, up_hiddens[:-1])
+            )(h, up_hiddens)
 
         if init_feats is not None:
             h = jnp.concatenate([h, init_feats], axis=-1)
@@ -636,6 +641,10 @@ class ImagenUNet(nn.Module):
                 dtype=self.dtype,
                 name="final_res_block",
             )(h, time_cond)
+        if lowres_for_head is not None:
+            # SR stages re-concatenate the lowres conditioning image at the
+            # output head (imagen_pytorch.py:3186)
+            h = jnp.concatenate([h, lowres_for_head], axis=-1)
 
         out = nn.Conv(
             self.channels_out or self.channels,

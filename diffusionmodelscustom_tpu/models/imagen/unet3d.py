@@ -364,7 +364,10 @@ class ImagenUNet3D(nn.Module):
                     name=f"down_{lvl}_downsample",
                 )(flat)
                 hx = unfold_frames(flat, bf)
-                if t_strides[lvl + 1] > 1:
+                # frame-count resampling is also a cross-frame op: skipped
+                # under ignore_time (and symmetric with the up path, so
+                # shapes stay consistent)
+                if t_strides[lvl + 1] > 1 and not ignore_time:
                     hx = TemporalDownsample(
                         dims[lvl + 1],
                         stride=t_strides[lvl + 1],
@@ -397,7 +400,7 @@ class ImagenUNet3D(nn.Module):
         for lvl in reversed(range(n_levels)):
             use_cross = self.layer_cross_attns[lvl]
             if lvl < n_levels - 1:
-                if t_strides[lvl + 1] > 1:
+                if t_strides[lvl + 1] > 1 and not ignore_time:
                     hx = TemporalPixelShuffleUpsample(
                         dims[lvl + 1],
                         stride=t_strides[lvl + 1],

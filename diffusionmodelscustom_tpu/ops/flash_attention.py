@@ -5,14 +5,16 @@ Replaces the reference's ``nn.MultiheadAttention`` materialized-logits path
 SURVEY.md section 3) with an online-softmax kernel: the (S x S) logit
 matrix never exists, and K/V stream through VMEM in blocks (grid dimension
 with carried accumulators), so VMEM use is O(block) regardless of sequence
-length — full-domain maps (128x128 -> S=16384) fit fine.
+length — full-domain maps (128x128 -> S=16384) fit fine. The backward is
+a pair of Pallas kernels (dQ and dK/dV) recomputing softmax weights from
+the saved per-row logsumexp, so no O(S^2) residual ever exists.
 
 Shapes in this workload are image-token attention: S = H*W up to ~16k,
 head_dim typically 16..128. Head dims are zero-padded to the 128-lane MXU
 width in the wrapper (zero padding is exact: it adds nothing to q.k'
-logits and produces output columns that are sliced away). Maps smaller
-than one q-block fall back to a jnp einsum — for S <= 256 XLA's fusion is
-already at speed of light and a grid launch would only add overhead.
+logits and produces output columns that are sliced away). Sequences
+shorter than 512 (or not divisible by the block sizes) fall back to a
+jnp einsum, where XLA's fusion is already at speed of light.
 """
 
 from __future__ import annotations
@@ -25,8 +27,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Block sizes aligned to the 8x128 f32 / 16x128 bf16 VMEM tiles.
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+# Swept on v5e at (B32, S4096, D128): 512/1024 gives 75 TF/s fwd and
+# 88 TF/s fwd+bwd vs 49/58 at 256/512 (fewer grid iterations amortize the
+# per-block softmax state handling).
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 # softmax in base 2: the VPU evaluates exp2 cheaper than exp, and at
 # D=128 the forward is exp-bound (B*H*S^2 exps vs the matmuls' MXU time).
@@ -307,11 +312,16 @@ def _flash_slab(q, k, v, block_q: int, block_k: int):
 
 def _flash_slab_fwd(q, k, v, block_q: int, block_k: int):
     out, lse = _flash_bhsd(q, k, v, block_q, block_k)
-    return out, (q, k, v, out, lse)
+    # keep only lane 0 as the residual: holding the lane-replicated
+    # (BH, S, 128) f32 array from forward to backward costs 128x the
+    # memory (268 MB per attention layer at B32/H1/S4096)
+    return out, (q, k, v, out, lse[:, :, 0])
 
 
 def _flash_slab_bwd(block_q: int, block_k: int, res, g):
-    q, k, v, o, lse = res
+    q, k, v, o, lse_rows = res
+    # transient lane replication for the kernels' (1, BQ, 128) blocks
+    lse = jnp.broadcast_to(lse_rows[..., None], (*lse_rows.shape, 128))
     # Fused Pallas backward (dKV + dQ kernels). Round 1 used a jnp scan
     # that materialized (BH, BQ, S) f32 logits per chunk in HBM — measured
     # 142 ms fwd+bwd at (B32, S4096, H4, D32) vs ~19 ms forward alone;
@@ -331,11 +341,12 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Self-attention with (B, S, H, D) layout, fused on TPU.
 
-    Differentiable: the forward is the Pallas kernel; the backward is a
-    q-chunked recomputation pass (no O(S^2) residuals are saved). Falls
-    back to the einsum path when the sequence doesn't tile evenly (image
-    token counts are powers of two in this workload, so 512+ maps always
-    take the fused path).
+    Differentiable: the forward is the Pallas kernel (emitting the per-row
+    logsumexp); the backward is the Pallas dQ/dKV kernel pair recomputing
+    softmax from the LSE (no O(S^2) residuals are saved). Falls back to
+    the einsum path when the sequence doesn't tile evenly (image token
+    counts are powers of two in this workload, so 512+ maps always take
+    the fused path).
     """
     b, s, h, d = q.shape
     block_q = min(block_q, s)
