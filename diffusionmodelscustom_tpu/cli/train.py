@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                         " optimizer, EMA, step) before training")
     p.add_argument("--create_figs", action="store_true",
                    help="save loss curves and a generated-sample grid")
+    p.add_argument("--sample_every", type=int, default=0,
+                   help="every N epochs, sample a small grid to figures/ "
+                        "(the reference's periodic in-training sampling, "
+                        "ddpm_DANRA_conditional_wValid.py:522-658)")
     return p
 
 
@@ -339,6 +343,34 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
 
+    def epoch_end_fn(state, epoch):
+        if not args.sample_every or (epoch + 1) % args.sample_every:
+            return
+        from ..sampling import ddim_sample
+        from ..utils.plotting import save_sample_grid
+
+        params = state.ema_params if state.ema_params is not None else state.params
+        n_gen = min(cfg.data.n_gen_samples, cfg.training.batch_size)
+        sb = {k: v[:n_gen] for k, v in example.items() if k != "points"}
+
+        def denoise(x, t):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            return trainer.model.apply(
+                variables, x, t, sb.get("classifier"), sb.get("img_cond"),
+                sb.get("lsm"), sb.get("topo"),
+            )
+
+        gen = ddim_sample(
+            denoise, diffusion, jax.random.fold_in(rng, 1000 + epoch),
+            (n_gen, *example["img"].shape[1:]),
+            num_steps=min(cfg.diffusion.ddim_steps, cfg.diffusion.n_timesteps // 2),
+        )
+        out = save_dir / "figures" / f"samples_epoch{epoch:04d}.png"
+        save_sample_grid(np.asarray(gen), out)
+        print(f"[train] epoch {epoch}: sample grid -> {out}", file=sys.stderr)
+
     t0 = time.time()
     with mesh:
         state, history = trainer.fit(
@@ -349,6 +381,7 @@ def main(argv=None) -> int:
             rng=rng,
             checkpoint_fn=lambda s, e, m: ckpt.save(e, s, monitor=m),
             log_fn=log_fn,
+            epoch_end_fn=epoch_end_fn,
         )
     if args.create_figs:
         from ..sampling import ddim_sample

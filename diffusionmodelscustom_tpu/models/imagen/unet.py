@@ -295,6 +295,11 @@ class ImagenUNet(nn.Module):
     num_latents: int = 32
     # multi-kernel stem (CrossEmbedLayer, imagen_pytorch.py:2220) vs 7x7 conv
     use_cross_embed: bool = False
+    init_cross_embed_kernel_sizes: Sequence[int] = (3, 7, 15)
+    # downsample with a stride-2 CrossEmbedLayer instead of a strided conv
+    # (imagen_pytorch.py cross_embed_downsample + :2220)
+    cross_embed_downsample: bool = False
+    cross_embed_downsample_kernel_sizes: Sequence[int] = (2, 4)
     # anti-checkerboard pixel-shuffle upsampling (imagen_pytorch.py:1320)
     pixel_shuffle_upsample: bool = True
     # squeeze-excite global context gating in resnet blocks
@@ -487,7 +492,9 @@ class ImagenUNet(nn.Module):
 
         if self.use_cross_embed:
             h = CrossEmbedLayer(
-                dims[0], kernel_sizes=(3, 7, 15), dtype=self.dtype,
+                dims[0],
+                kernel_sizes=tuple(self.init_cross_embed_kernel_sizes),
+                dtype=self.dtype,
                 name="init_cross_embed",
             )(h)
         else:
@@ -533,14 +540,23 @@ class ImagenUNet(nn.Module):
                 )(h)
             skips.append(h)
             if lvl < n_levels - 1:
-                h = nn.Conv(
-                    dims[lvl + 1],
-                    (4, 4),
-                    strides=2,
-                    padding=1,
-                    dtype=self.dtype,
-                    name=f"down_{lvl}_downsample",
-                )(h)
+                if self.cross_embed_downsample:
+                    h = CrossEmbedLayer(
+                        dims[lvl + 1],
+                        kernel_sizes=tuple(self.cross_embed_downsample_kernel_sizes),
+                        stride=2,
+                        dtype=self.dtype,
+                        name=f"down_{lvl}_downsample",
+                    )(h)
+                else:
+                    h = nn.Conv(
+                        dims[lvl + 1],
+                        (4, 4),
+                        strides=2,
+                        padding=1,
+                        dtype=self.dtype,
+                        name=f"down_{lvl}_downsample",
+                    )(h)
 
         # mid (always cross-attends when text is present)
         h = ResnetBlock(

@@ -368,6 +368,7 @@ class Trainer:
         rng: Optional[jax.Array] = None,
         checkpoint_fn: Optional[Callable[[TrainState, int, float], Any]] = None,
         log_fn: Optional[Callable[[int, float, float], Any]] = None,
+        epoch_end_fn: Optional[Callable[[TrainState, int], Any]] = None,
     ) -> Tuple[TrainState, Dict[str, list]]:
         """Epoch loop with best-val checkpointing and early stopping
         (ddpm_DANRA_conditional_wValid.py:490-518; src/main_ddpm.py:458-472).
@@ -394,6 +395,10 @@ class Trainer:
 
             if log_fn is not None:
                 log_fn(epoch, train_loss, valid_loss)
+            if epoch_end_fn is not None:
+                # the reference's every-N-epochs sampling hook
+                # (ddpm_DANRA_conditional_wValid.py:522-658)
+                epoch_end_fn(state, epoch)
 
             monitor = valid_loss if valid_loader is not None else train_loss
             if monitor < best:

@@ -495,3 +495,20 @@ def test_random_crop_sr_training():
         lambda a, x: a + jnp.abs(x).sum(), g, jnp.zeros(())
     ))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_cross_embed_downsample_knob():
+    unet = ImagenUNet(
+        dim=16, dim_mults=(1, 2), channels=3, text_embed_dim=TEXT_DIM,
+        num_resnet_blocks=1, layer_attns=(False, True),
+        layer_cross_attns=(False, False), attn_heads=2, learned_sinu_dim=8,
+        use_cross_embed=True, init_cross_embed_kernel_sizes=(3, 7),
+        cross_embed_downsample=True,
+    )
+    x = jnp.zeros((1, 16, 16, 3))
+    params = unet.init(jax.random.key(0), x, jnp.zeros((1,)))
+    out = unet.apply(params, x, jnp.zeros((1,)))
+    assert out.shape == x.shape
+    modules = set(params["params"].keys())
+    assert "init_cross_embed" in modules
+    assert "conv_k2" in params["params"]["down_0_downsample"]
