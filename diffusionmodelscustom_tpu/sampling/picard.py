@@ -1,0 +1,153 @@
+"""Parallel-in-time ancestral sampling (ParaDiGMS, arXiv:2305.16317).
+
+The reverse DDPM chain with a FIXED noise realization per step is a
+deterministic recursion y_{k+1} = y_k + g_k(y_k). Its Picard form
+
+    y_i = y_0 + sum_{j < i} g_j(y_j)
+
+is solved iteratively over a sliding window: one sweep evaluates the
+denoiser on ALL window positions at once (window folded into the batch
+axis), forms every drift g_j, and rebuilds the whole window by a prefix
+sum; leading positions whose rebuild moved less than ``tol`` slide out.
+Position 1 is exact after every sweep so the window always advances, and
+when the drift field is smooth (most of the reverse chain) many positions
+converge per sweep — the number of SEQUENTIAL denoiser rounds drops well
+below T. (Plain per-position Jacobi does NOT work here: the DDPM step map
+has Lipschitz constant 1/sqrt(alpha) >= 1, so composition-form iteration
+only converges one position per sweep — measured before switching to the
+prefix-sum form.)
+
+This trades arithmetic (window x work per sweep) for latency. MEASURED
+(v5e, flagship 128px, batch 1, T=1000): sweeps drop to 85-164 (6-10x fewer
+sequential denoiser rounds), but wall-clock is 0.6-0.7x of the sequential
+scan because a batch-1 flagship forward already takes only ~1.1 ms — the
+window-fold batch costs nearly linearly on this chip. The method pays off
+when the per-call cost is latency-dominated (much larger models, hosts
+with high dispatch overhead, or pipelined multi-chip sampling); at any
+saturating batch the sequential scan (sampling/ancestral.py) is optimal.
+
+Noise is drawn as ``fold_in(rng_loop, t)`` exactly like ancestral_sample,
+so with a tight tolerance the output matches sequential sampling with the
+same key.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.ddpm import GaussianDiffusion
+
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def picard_sample(
+    denoise_fn: DenoiseFn,
+    diffusion: GaussianDiffusion,
+    rng: jax.Array,
+    shape: Sequence[int],
+    *,
+    window: int = 16,
+    tol: float = 1e-3,
+    max_sweeps: Optional[int] = None,
+    x_init: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+    return_stats: bool = False,
+) -> jnp.ndarray | Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ancestral DDPM sampling via sliding-window Picard iteration.
+
+    ``denoise_fn(x, t)`` must accept ANY leading batch size (the window is
+    folded into the batch; tile closed-over conditioning accordingly or
+    pass an unconditional model). ``tol`` is the per-element RMS movement
+    below which a window position is considered converged.
+
+    With ``return_stats=True`` also returns the number of sweeps executed
+    (sequential denoiser rounds; compare against T-1 for the parallel
+    speedup factor).
+    """
+    n_steps = diffusion.n_timesteps - 1  # t = T-1 .. 1, never 0
+    w = int(min(window, n_steps))
+    max_sweeps = max_sweeps or n_steps  # worst case: 1 slide per sweep
+    batch = shape[0]
+    spatial = tuple(shape[1:])
+    noise_scale = jnp.asarray(diffusion.noise_scale, dtype)
+
+    rng_init, rng_loop = jax.random.split(rng)
+    if x_init is None:
+        x0 = jax.random.normal(rng_init, tuple(shape), dtype) * noise_scale
+    else:
+        x0 = x_init.astype(dtype)
+
+    def t_of_k(k):
+        # step index k (0-based) applies timestep t = T-1-k; clamp beyond
+        # the chain (those positions are discarded by the slide clamp)
+        return diffusion.n_timesteps - 1 - jnp.clip(k, 0, n_steps - 1)
+
+    def drift_batch(xs: jnp.ndarray, ks: jnp.ndarray) -> jnp.ndarray:
+        """g_{ks[i]}(xs[i]) = F(xs[i]) - xs[i] for all window positions in
+        ONE denoiser call: xs (W, B, ...) -> (W, B, ...)."""
+        tvals = t_of_k(ks)  # (W,)
+        x_flat = xs.reshape((w * batch,) + spatial)
+        t_flat = jnp.repeat(tvals, batch).astype(jnp.int32)
+        eps = denoise_fn(x_flat, t_flat)
+
+        def z_for(t):
+            z = jax.random.normal(
+                jax.random.fold_in(rng_loop, t), (batch,) + spatial, dtype
+            )
+            return jnp.where(t > 1, z * noise_scale, jnp.zeros_like(z))
+
+        z = jax.vmap(z_for)(tvals).reshape((w * batch,) + spatial)
+        stepped = diffusion.p_step(x_flat, t_flat, eps, z)
+        return (stepped - x_flat).reshape((w, batch) + spatial)
+
+    def sweep(carry):
+        k0, head, window_vals, n_sweeps = carry
+        # window_vals[i] estimates y_{k0+i} for i = 0..W-1; [0] == head exact
+        ks = k0 + jnp.arange(w)
+        drifts = drift_batch(window_vals, ks)
+        # Picard rebuild: y_{k0+i} = head + sum_{j<i} g_j  (prefix sums);
+        # rebuilt[i] estimates y_{k0+i+1}
+        rebuilt = head[None] + jnp.cumsum(drifts, axis=0)
+        move = jnp.sqrt(
+            jnp.mean(
+                jnp.square(rebuilt[:-1] - window_vals[1:]).reshape(w - 1, -1),
+                axis=-1,
+            )
+        )
+        # rebuilt[0] = F(head) is exact -> always advance >= 1; further
+        # positions advance while their rebuild settled
+        extra = jnp.cumprod((move < tol).astype(jnp.int32))
+        advance = jnp.minimum(1 + jnp.sum(extra), n_steps - k0)
+
+        head_new = jax.lax.dynamic_index_in_dim(
+            rebuilt, advance - 1, axis=0, keepdims=False
+        )
+        # shift: new window position i estimates y_{k0+advance+i}
+        #   i = 0           -> head_new (exact)
+        #   1 <= i <= W-1-a -> rebuilt[advance-1+i]
+        #   tail            -> replicate the last rebuilt estimate
+        idx = jnp.clip(jnp.arange(w) + advance - 1, 0, w - 1)
+        shifted = rebuilt[idx]
+        window_new = jnp.concatenate([head_new[None], shifted[1:]], axis=0)
+        return k0 + advance, head_new, window_new, n_sweeps + 1
+
+    def cond(carry):
+        k0, _, _, n_sweeps = carry
+        return jnp.logical_and(k0 < n_steps, n_sweeps < max_sweeps)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        x0,
+        jnp.broadcast_to(x0, (w,) + tuple(shape)).astype(dtype),
+        jnp.zeros((), jnp.int32),
+    )
+    k0, head, _, n_sweeps = jax.lax.while_loop(cond, sweep, init)
+    if return_stats:
+        return head, n_sweeps
+    return head
+
+
+__all__ = ["picard_sample"]

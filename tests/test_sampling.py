@@ -131,3 +131,62 @@ def test_edm_sample_inpainting_preserves_known_region():
     assert np.isfinite(out).all()
     # conditioning visibly changed the generation path
     assert not np.allclose(out[:, 4:], plain[:, 4:], atol=1e-3)
+
+
+class TestPicardParallelSampling:
+    """Parallel-in-time sampler (ParaDiGMS, arXiv:2305.16317): must match
+    sequential ancestral sampling with the same key, in fewer sweeps."""
+
+    def _denoise(self):
+        # a smooth content-dependent denoiser (accepts any batch size)
+        def fn(x, t):
+            tt = (t.astype(jnp.float32) / 30.0).reshape((-1,) + (1,) * (x.ndim - 1))
+            return 0.3 * x * (1.0 - tt) + 0.05 * jnp.tanh(x)
+        return fn
+
+    def test_matches_sequential_ancestral(self):
+        from diffusionmodelscustom_tpu.core import GaussianDiffusion
+        from diffusionmodelscustom_tpu.sampling import ancestral_sample, picard_sample
+
+        diff = GaussianDiffusion.create(n_timesteps=30)
+        shape = (2, 8, 8, 1)
+        key = jax.random.key(0)
+        seq = ancestral_sample(self._denoise(), diff, key, shape)
+        par, sweeps = picard_sample(
+            self._denoise(), diff, key, shape, window=6, tol=1e-6,
+            return_stats=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(par), np.asarray(seq), rtol=1e-3, atol=1e-3
+        )
+        assert int(sweeps) <= diff.n_timesteps - 1
+
+    def test_converges_in_fewer_sweeps_with_loose_tol(self):
+        from diffusionmodelscustom_tpu.core import GaussianDiffusion
+        from diffusionmodelscustom_tpu.sampling import ancestral_sample, picard_sample
+
+        diff = GaussianDiffusion.create(n_timesteps=60)
+        shape = (1, 8, 8, 1)
+        key = jax.random.key(1)
+        seq = ancestral_sample(self._denoise(), diff, key, shape)
+        par, sweeps = picard_sample(
+            self._denoise(), diff, key, shape, window=12, tol=5e-3,
+            return_stats=True,
+        )
+        # parallel-in-time win: strictly fewer sequential rounds than steps
+        assert int(sweeps) < diff.n_timesteps - 1
+        # and still close to the sequential trajectory
+        err = float(np.sqrt(np.mean((np.asarray(par) - np.asarray(seq)) ** 2)))
+        assert err < 0.05
+
+    def test_jits_and_window_clamp(self):
+        from diffusionmodelscustom_tpu.core import GaussianDiffusion
+        from diffusionmodelscustom_tpu.sampling import picard_sample
+
+        diff = GaussianDiffusion.create(n_timesteps=5)
+        out = jax.jit(
+            lambda key: picard_sample(
+                self._denoise(), diff, key, (1, 4, 4, 1), window=16
+            )
+        )(jax.random.key(2))
+        assert np.isfinite(np.asarray(out)).all()
