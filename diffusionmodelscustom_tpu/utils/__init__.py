@@ -17,6 +17,8 @@ from .plotting import (
 from .profiling import StepTimer, count_params, memory_stats, model_summary, trace
 
 __all__ = [
+    "import_danra_torch_checkpoint",
+    "load_pth_tar",
     "CheckpointManager",
     "DataConfig",
     "DiffusionConfig",
@@ -35,3 +37,4 @@ __all__ = [
     "save_sample_grid",
     "trace",
 ]
+from .torch_import import import_danra_torch_checkpoint, load_pth_tar
