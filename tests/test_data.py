@@ -299,3 +299,22 @@ class TestCutoutSDFExactness:
         # only be smaller-or-equal; after normalization differences stay
         # modest for windows containing land
         assert np.mean(np.abs(a - b)) < 0.15
+
+
+def test_precipitation_variable_round_trip(tmp_path):
+    # variable='prcp' reads the 'tp' member with NO Kelvin conversion
+    # (data_DANRA_conditional.py:1162-1167)
+    make_synthetic_store(
+        tmp_path / "hr", n_days=4, shape=(32, 32), variable="tp", seed=5
+    )
+    ds = DanraDataset(
+        tmp_path / "hr",
+        DanraDatasetConfig(variable="prcp", data_size=(16, 16), scale=False),
+    )
+    s = ds[0]
+    assert s["img"].shape == (16, 16, 1)
+    # synthetic fields are ~Kelvin-scale values; no -273.15 applied
+    assert float(s["img"].mean()) > 100.0
+    # batched path agrees with per-sample
+    b = ds.load_batch([0, 1])
+    np.testing.assert_allclose(b["img"][0], ds[0]["img"], rtol=1e-4, atol=1e-4)
