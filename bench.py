@@ -185,16 +185,19 @@ def bench_cascade():
     te = jax.random.normal(jax.random.key(1), (batch, 8, text_dim))
     tm = jnp.ones((batch, 8), bool)
 
-    t0 = time.perf_counter()
-    out = cascade.sample(
-        params, jax.random.key(2), batch_size=batch, text_embeds=te, text_mask=tm
+    # jit the WHOLE cascade walk: eager-mode lax.scan re-traces the full
+    # UNet body on every call (seconds of host time per sample() call)
+    sample_jit = jax.jit(
+        lambda p, key: cascade.sample(
+            p, key, batch_size=batch, text_embeds=te, text_mask=tm
+        )
     )
+    t0 = time.perf_counter()
+    out = sample_jit(params, jax.random.key(2))
     _sync(out)
     log(f"cascade compile+first: {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
-    out = cascade.sample(
-        params, jax.random.key(5), batch_size=batch, text_embeds=te, text_mask=tm
-    )
+    out = sample_jit(params, jax.random.key(5))
     _sync(out)
     dt = time.perf_counter() - t0
     sps = batch / dt
