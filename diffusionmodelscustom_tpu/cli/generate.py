@@ -95,6 +95,7 @@ def main(argv=None) -> int:
 
     n_batches = -(-args.n_samples // args.sample_batch)
     it = iter(loader)
+    sample_jits = {}
     for bi in range(n_batches):
         try:
             batch = next(it)
@@ -109,40 +110,44 @@ def main(argv=None) -> int:
         lsm = batch.get("lsm") if variant in ("conditional", "lsm_topo") else None
         topo = batch.get("topo") if variant in ("conditional", "lsm_topo") else None
 
-        def denoise(x, t):
-            variables = {"params": params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
-            return model.apply(variables, x, t, y, cond, lsm, topo)
+        # one jitted sampler per batch size (the tail batch may be
+        # smaller): eager-mode samplers re-trace the UNet scan body per
+        # call (seconds of host time each)
+        sample_jit = sample_jits.get(b)
+        if sample_jit is None:
 
-        def uncond(x, t):
-            variables = {"params": params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
-            return model.apply(variables, x, t, None, None, None, None)
+            def run(y, cond, lsm, topo, key, b=b):
+                variables = {"params": params}
+                if state.batch_stats is not None:
+                    variables["batch_stats"] = state.batch_stats
+
+                def denoise(x, t):
+                    return model.apply(variables, x, t, y, cond, lsm, topo)
+
+                def uncond(x, t):
+                    return model.apply(variables, x, t, None, None, None, None)
+
+                shape = (b, size[0], size[1], cfg.unet.out_channels)
+                kw = dict(
+                    uncond_fn=uncond if cfg.diffusion.cfg_scale > 0 else None,
+                    cfg_scale=cfg.diffusion.cfg_scale,
+                )
+                if cfg.diffusion.sampler == "ddim":
+                    return ddim_sample(
+                        denoise, diffusion, key, shape,
+                        num_steps=cfg.diffusion.ddim_steps, **kw,
+                    )
+                if cfg.diffusion.sampler == "dpmpp":
+                    return dpmpp_2m_sample(
+                        denoise, diffusion, key, shape,
+                        num_steps=cfg.diffusion.ddim_steps, **kw,
+                    )
+                return ancestral_sample(denoise, diffusion, key, shape, **kw)
+
+            sample_jit = sample_jits[b] = jax.jit(run)
 
         sample_rng = jax.random.fold_in(rng, 1000 + bi)
-        shape = (b, size[0], size[1], cfg.unet.out_channels)
-        if cfg.diffusion.sampler == "ddim":
-            out = ddim_sample(
-                denoise, diffusion, sample_rng, shape,
-                num_steps=cfg.diffusion.ddim_steps,
-                uncond_fn=uncond if cfg.diffusion.cfg_scale > 0 else None,
-                cfg_scale=cfg.diffusion.cfg_scale,
-            )
-        elif cfg.diffusion.sampler == "dpmpp":
-            out = dpmpp_2m_sample(
-                denoise, diffusion, sample_rng, shape,
-                num_steps=cfg.diffusion.ddim_steps,
-                uncond_fn=uncond if cfg.diffusion.cfg_scale > 0 else None,
-                cfg_scale=cfg.diffusion.cfg_scale,
-            )
-        else:
-            out = ancestral_sample(
-                denoise, diffusion, sample_rng, shape,
-                uncond_fn=uncond if cfg.diffusion.cfg_scale > 0 else None,
-                cfg_scale=cfg.diffusion.cfg_scale,
-            )
+        out = sample_jit(y, cond, lsm, topo, sample_rng)
         bundles["gen"].append(np.asarray(out))
         bundles["eval"].append(np.asarray(batch["img"]))
         if "lsm" in batch:

@@ -160,3 +160,28 @@ def test_new_unet_knobs_flow_through_config():
     assert u.cosine_sim_attn and u.scale_skip_connection
     assert u.combine_upsample_fmaps
     assert tuple(u.use_linear_attn) == (True, False)
+
+
+def test_generate_cli_end_to_end(tmp_path):
+    """C14 surface: synthetic train-free generation emits the reference's
+    npz bundle set, exercising the jitted per-batch-size sampler cache
+    (4 + tail-2 batches)."""
+    from diffusionmodelscustom_tpu.cli.generate import main
+
+    rc = main([
+        "--platform", "cpu", "--synthetic",
+        "--n_samples", "6", "--sample_batch", "4", "--hr_size", "16",
+        "--sampler", "ddim", "--ddim_steps", "5",
+        "--path_data", str(tmp_path / "data"),
+        "--path_save", str(tmp_path / "runs"),
+        "--set", "diffusion.n_timesteps=20",
+        "--set", "unet.base_channels=8",
+    ])
+    assert rc == 0
+    out = tmp_path / "runs" / "generated_samples"
+    import numpy as np
+
+    gen = np.load(out / "gen_samples.npz")["data"]
+    ev = np.load(out / "eval_samples.npz")["data"]
+    assert gen.shape[0] == 6 and ev.shape[0] == 6
+    assert np.isfinite(gen).all()
