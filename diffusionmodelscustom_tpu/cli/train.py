@@ -226,6 +226,7 @@ def build_data(cfg, synthetic: bool):
         sdf_weighted_loss=cfg.data.sdf_weighted_loss
         or cfg.training.loss_type == "sdfweighted",
         cache_size=cfg.data.cache_size,
+        field_cache_entries=cfg.data.field_cache_entries,
         seed=cfg.training.seed,
     )
     dataset = DanraDataset(
@@ -343,9 +344,9 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
 
-    def epoch_end_fn(state, epoch):
-        if not args.sample_every or (epoch + 1) % args.sample_every:
-            return
+    def save_grid(state, rng_tag: int, out_path) -> None:
+        """DDIM-sample a small grid with EMA params and save it (the
+        reference's periodic sample plots, ddpm…wValid.py:522-658)."""
         from ..sampling import ddim_sample
         from ..utils.plotting import save_sample_grid
 
@@ -363,13 +364,20 @@ def main(argv=None) -> int:
             )
 
         gen = ddim_sample(
-            denoise, diffusion, jax.random.fold_in(rng, 1000 + epoch),
+            denoise, diffusion, jax.random.fold_in(rng, rng_tag),
             (n_gen, *example["img"].shape[1:]),
             num_steps=min(cfg.diffusion.ddim_steps, cfg.diffusion.n_timesteps // 2),
         )
-        out = save_dir / "figures" / f"samples_epoch{epoch:04d}.png"
-        save_sample_grid(np.asarray(gen), out)
-        print(f"[train] epoch {epoch}: sample grid -> {out}", file=sys.stderr)
+        save_sample_grid(np.asarray(gen), out_path)
+        print(f"[train] sample grid -> {out_path}", file=sys.stderr)
+
+    def epoch_end_fn(state, epoch):
+        if not args.sample_every or (epoch + 1) % args.sample_every:
+            return
+        save_grid(
+            state, 1000 + epoch,
+            save_dir / "figures" / f"samples_epoch{epoch:04d}.png",
+        )
 
     t0 = time.time()
     with mesh:
@@ -384,35 +392,10 @@ def main(argv=None) -> int:
             epoch_end_fn=epoch_end_fn,
         )
     if args.create_figs:
-        from ..sampling import ddim_sample
-        from ..utils.plotting import save_loss_curves, save_sample_grid
+        from ..utils.plotting import save_loss_curves
 
         save_loss_curves(history, save_dir / "figures" / "loss_curves.png")
-        params = state.ema_params if state.ema_params is not None else state.params
-        n_gen = min(cfg.data.n_gen_samples, cfg.training.batch_size)
-        sample_batch = {
-            k: v[:n_gen] for k, v in example.items() if k != "points"
-        }
-
-        def denoise(x, t):
-            variables = {"params": params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
-            return trainer.model.apply(
-                variables, x, t,
-                sample_batch.get("classifier"), sample_batch.get("img_cond"),
-                sample_batch.get("lsm"), sample_batch.get("topo"),
-            )
-
-        gen = ddim_sample(
-            denoise, diffusion, jax.random.fold_in(rng, 99),
-            (n_gen, *example["img"].shape[1:]),
-            num_steps=min(cfg.diffusion.ddim_steps, cfg.diffusion.n_timesteps // 2),
-        )
-        save_sample_grid(
-            np.asarray(gen), save_dir / "figures" / "samples.png"
-        )
-        print(f"[train] figures written to {save_dir / 'figures'}", file=sys.stderr)
+        save_grid(state, 99, save_dir / "figures" / "samples.png")
 
     print(
         json.dumps(

@@ -332,8 +332,10 @@ class Imagen:
                 ip = normalize_neg_one_to_one(ip)
             # re-binarize after the float resize (the reference casts
             # .bool(), elucidated_imagen.py:462): hard known-region select
+            # .bool() semantics: any nonzero resized weight marks the
+            # pixel as known (elucidated_imagen.py:462)
             resized_mask = (
-                self._resize(inpaint_masks.astype(jnp.float32), size) > 0.5
+                self._resize(inpaint_masks.astype(jnp.float32), size) > 0.0
             ).astype(jnp.float32)
             inpaint_kw = dict(
                 inpaint_images=self._resize(ip, size),
@@ -561,8 +563,10 @@ class ElucidatedImagen(Imagen):
             ip = inpaint_images
             if self.auto_normalize_img:
                 ip = normalize_neg_one_to_one(ip)
+            # .bool() semantics: any nonzero resized weight marks the
+            # pixel as known (elucidated_imagen.py:462)
             resized_mask = (
-                self._resize(inpaint_masks.astype(jnp.float32), size) > 0.5
+                self._resize(inpaint_masks.astype(jnp.float32), size) > 0.0
             ).astype(jnp.float32)
             inpaint_kw = dict(
                 inpaint_images=self._resize(ip, size),

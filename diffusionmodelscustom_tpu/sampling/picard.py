@@ -68,7 +68,9 @@ def picard_sample(
     speedup factor).
     """
     n_steps = diffusion.n_timesteps - 1  # t = T-1 .. 1, never 0
-    w = int(min(window, n_steps))
+    # the sweep compares w-1 trailing positions; w >= 2 keeps that shape
+    # non-empty (w = 1 would be plain sequential stepping anyway)
+    w = int(max(2, min(window, n_steps)))
     max_sweeps = max_sweeps or n_steps  # worst case: 1 slide per sweep
     batch = shape[0]
     spatial = tuple(shape[1:])

@@ -37,6 +37,7 @@ class DataConfig:
     cutouts: bool = True
     cutout_domains: Tuple[int, int, int, int] = (170, 350, 340, 520)
     cache_size: int = 0
+    field_cache_entries: int = 1024  # raw day-field LRU (see DanraDatasetConfig)
     n_gen_samples: int = 4
     num_workers: int = 1
     season_classes: int = 4

@@ -93,6 +93,12 @@ def import_danra_torch_checkpoint(
     if "network_params" in state_dict:
         state_dict = state_dict["network_params"]
     sd = dict(state_dict)
+    # the architecture is a 4-stage ResNet trunk with 5 feature-map scales
+    # (stem + 4 stages); block_layers varies blocks-per-stage only
+    assert len(block_layers) == 4, (
+        "block_layers must have 4 stages (ResNet trunk); got "
+        f"{len(block_layers)}"
+    )
 
     enc_p: Dict[str, Any] = {}
     enc_s: Dict[str, Any] = {}

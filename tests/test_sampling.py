@@ -190,3 +190,20 @@ class TestPicardParallelSampling:
             )
         )(jax.random.key(2))
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_picard_window_one_and_tiny_chain():
+    # degenerate windows: window=1 and T=2 must not crash (w clamps to 2)
+    from diffusionmodelscustom_tpu.core import GaussianDiffusion
+    from diffusionmodelscustom_tpu.sampling import ancestral_sample, picard_sample
+
+    def fn(x, t):
+        return 0.1 * x
+
+    for T, w in ((2, 1), (5, 1), (30, 1)):
+        diff = GaussianDiffusion.create(n_timesteps=T)
+        seq = ancestral_sample(fn, diff, jax.random.key(0), (1, 4, 4, 1))
+        par = picard_sample(fn, diff, jax.random.key(0), (1, 4, 4, 1),
+                            window=w, tol=1e-7)
+        np.testing.assert_allclose(np.asarray(par), np.asarray(seq),
+                                   rtol=1e-4, atol=1e-5)
