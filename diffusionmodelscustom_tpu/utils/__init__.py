@@ -38,3 +38,4 @@ __all__ = [
     "trace",
 ]
 from .torch_import import import_danra_torch_checkpoint, load_pth_tar
+from .serving import export_sampler, load_sampler

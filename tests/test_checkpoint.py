@@ -78,3 +78,41 @@ def test_resume_training_from_checkpoint(tmp_path):
     next_restored, _ = trainer.train_step(restored, batch, rng)
     assert_tree_equal(next_direct.params, next_restored.params)
     assert_tree_equal(next_direct.opt_state, next_restored.opt_state)
+
+
+class TestServingExport:
+    def test_sampler_export_roundtrip(self):
+        """AOT serving export: serialize a jitted sampler, reload it, and
+        get identical samples without retracing any model code."""
+        import jax
+        import jax.numpy as jnp
+
+        from diffusionmodelscustom_tpu.core import GaussianDiffusion
+        from diffusionmodelscustom_tpu.models import ConditionalUNet
+        from diffusionmodelscustom_tpu.sampling import ancestral_sample
+        from diffusionmodelscustom_tpu.utils import export_sampler, load_sampler
+
+        model = ConditionalUNet(
+            out_channels=1, base_channels=8, time_dim=16, n_heads=2,
+            attention_levels=(), attention_levels_up=(),
+        )
+        diff = GaussianDiffusion.create(n_timesteps=10)
+        x0 = jnp.zeros((2, 8, 8, 1))
+        params = model.init(jax.random.key(0), x0, jnp.zeros((2,), jnp.int32))
+
+        def fn(params, key):
+            def denoise(x, t):
+                return model.apply(params, x, t)
+
+            return ancestral_sample(denoise, diff, key, (2, 8, 8, 1))
+
+        args = (params, jax.random.key(3))
+        blob = export_sampler(fn, args)
+        assert isinstance(blob, bytes) and len(blob) > 1000
+
+        loaded = load_sampler(blob)
+        got = loaded(*args)
+        want = jax.jit(fn)(*args)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
