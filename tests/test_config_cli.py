@@ -185,3 +185,59 @@ def test_generate_cli_end_to_end(tmp_path):
     ev = np.load(out / "eval_samples.npz")["data"]
     assert gen.shape[0] == 6 and ev.shape[0] == 6
     assert np.isfinite(gen).all()
+
+
+def test_imagen_cli_train_and_sample_end_to_end(tmp_path):
+    """C36 surface: imagen train --synthetic trains a stage and saves its
+    state; imagen sample restores it and writes an npz image bundle."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from diffusionmodelscustom_tpu.cli.imagen_cli import imagen
+
+    cfg = {
+        "type": "elucidated",
+        "imagen": {
+            "image_sizes": [8],
+            "text_encoder_name": "google/t5-v1_1-base",
+            "unets": [
+                {
+                    "dim": 16,
+                    "dim_mults": [1, 2],
+                    "num_resnet_blocks": 1,
+                    "layer_attns": [False, True],
+                    "layer_cross_attns": [False, True],
+                    "attn_heads": 2,
+                }
+            ],
+        },
+        "trainer": {"lr": 1e-3},
+        "dataset": {"batch_size": 2},
+        "checkpoint_path": str(tmp_path / "ckpts"),
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(_json.dumps(cfg))
+
+    runner = CliRunner()
+    r = runner.invoke(
+        imagen,
+        ["train", "--config", str(cfg_path), "--unet", "1", "--steps", "3",
+         "--synthetic"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert (tmp_path / "ckpts" / "unet1").exists()
+
+    out = tmp_path / "sample.npz"
+    r = runner.invoke(
+        imagen,
+        ["sample", "--config", str(cfg_path), "--output", str(out),
+         "--batch_size", "1", "--cond_scale", "2.0", "a synthetic field"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    import numpy as np
+
+    arr = np.load(out)["images"] if "images" in np.load(out) else np.load(out)[np.load(out).files[0]]
+    assert arr.shape[0] == 1 and np.isfinite(arr).all()
