@@ -24,11 +24,21 @@ from typing import Any, List, Optional, Union
 
 import click
 import numpy as np
-from pydantic import BaseModel, field_validator
+from pydantic import BaseModel, ConfigDict, field_validator
 
 
 class UnetConfig(BaseModel):
-    """One cascade stage (configs.py:38-66 surface)."""
+    """One cascade stage (configs.py:38-66 surface).
+
+    Accepts the FULL reference Unet knob surface
+    (imagen_pytorch.py:2349-2398): the common knobs are typed below;
+    every other reference kwarg (num_time_tokens, layer_attns_depth,
+    attend_at_middle, init_dim, resize_mode, ...) is accepted as an extra
+    key and resolved by ``imagen_unet_from_ref_config`` — an unknown knob
+    fails at build time with a TypeError rather than being silently
+    dropped."""
+
+    model_config = ConfigDict(extra="allow")
 
     dim: int = 128
     dim_mults: List[int] = [1, 2, 4]
@@ -41,7 +51,7 @@ class UnetConfig(BaseModel):
     use_linear_attn: Union[bool, List[bool]] = False
     use_linear_cross_attn: Union[bool, List[bool]] = False
     cosine_sim_attn: bool = False
-    scale_skip_connection: bool = False
+    scale_skip_connection: bool = True  # reference default (:2390)
     combine_upsample_fmaps: bool = False
     memory_efficient: bool = False
     use_global_context: bool = False
@@ -54,6 +64,7 @@ class ImagenConfigSchema(BaseModel):
     """configs.py:67-130 surface."""
 
     video: bool = False
+    video_frames: int = 8
     elucidated: bool = False
     timesteps: Union[int, List[int]] = 1000
     image_sizes: List[int] = [64, 256]
@@ -63,6 +74,20 @@ class ImagenConfigSchema(BaseModel):
     text_encoder_name: str = "google/t5-v1_1-base"
     noise_schedules: Union[str, List[str]] = "cosine"
     pred_objectives: Union[str, List[str]] = "noise"
+    # cascade-level reference knobs (imagen_pytorch.py:3312-3360)
+    loss_type: str = "l2"
+    lowres_sample_noise_level: float = 0.2
+    per_sample_random_aug_noise_level: bool = False
+    lowres_noise_schedule: str = "linear"
+    dynamic_thresholding: Union[bool, List[bool]] = True
+    dynamic_thresholding_percentile: float = 0.95
+    min_snr_loss_weight: bool = True
+    min_snr_gamma: Optional[float] = 5.0
+    auto_normalize_img: bool = True
+    resize_mode: str = "nearest"
+    only_train_unet_number: Optional[int] = None
+    temporal_downsample_factor: Union[int, List[int]] = 1
+    resize_cond_video_frames: bool = True
     # default: a base-64 + SR-256 two-stage cascade (the reference default
     # is a 3-stage 64->256->1024, default_config.json:5-44)
     unets: List[UnetConfig] = [
@@ -99,63 +124,49 @@ class RootConfig(BaseModel):
 
 
 def _build_cascade(cfg: RootConfig):
-    from ..models.imagen import ElucidatedImagen, Imagen, ImagenUNet
+    from ..models.imagen import ElucidatedImagen, Imagen
     from ..models.imagen.t5 import get_encoded_dim
+    from ..models.imagen.unet import imagen_unet_from_ref_config
 
     text_dim = get_encoded_dim(cfg.imagen.text_encoder_name)
-    n = len(cfg.imagen.unets)
 
-    def cast(v):
-        return v if isinstance(v, list) else [v] * 4
-
-    unets = []
-    for i, u in enumerate(cfg.imagen.unets):
-        n_levels = len(u.dim_mults)
-        la = u.layer_attns if isinstance(u.layer_attns, list) else [u.layer_attns] * n_levels
-        lca = (
-            u.layer_cross_attns
-            if isinstance(u.layer_cross_attns, list)
-            else [u.layer_cross_attns] * n_levels
+    unets = [
+        imagen_unet_from_ref_config(
+            u.model_dump(),
+            text_embed_dim=text_dim,
+            lowres_cond=i > 0,
         )
-        unets.append(
-            ImagenUNet(
-                dim=u.dim,
-                dim_mults=tuple(u.dim_mults),
-                channels=u.channels,
-                text_embed_dim=text_dim,
-                num_resnet_blocks=u.num_resnet_blocks
-                if isinstance(u.num_resnet_blocks, int)
-                else tuple(u.num_resnet_blocks),
-                layer_attns=tuple(la),
-                layer_cross_attns=tuple(lca),
-                attn_heads=u.attn_heads,
-                lowres_cond=i > 0,
-                use_linear_attn=u.use_linear_attn
-                if isinstance(u.use_linear_attn, bool)
-                else tuple(u.use_linear_attn),
-                use_linear_cross_attn=u.use_linear_cross_attn
-                if isinstance(u.use_linear_cross_attn, bool)
-                else tuple(u.use_linear_cross_attn),
-                cosine_sim_attn=u.cosine_sim_attn,
-                scale_skip_connection=u.scale_skip_connection,
-                combine_upsample_fmaps=u.combine_upsample_fmaps,
-                memory_efficient=u.memory_efficient,
-                use_global_context=u.use_global_context,
-                pixel_shuffle_upsample=u.pixel_shuffle_upsample,
-                self_cond=u.self_cond,
-                cond_images_channels=u.cond_images_channels,
-            )
-        )
+        for i, u in enumerate(cfg.imagen.unets)
+    ]
     cls = ElucidatedImagen if (cfg.type == "elucidated" or cfg.imagen.elucidated) else Imagen
+    im = cfg.imagen
     return cls(
         unets=unets,
-        image_sizes=tuple(cfg.imagen.image_sizes),
-        channels=cfg.imagen.unets[0].channels,
-        timesteps=cfg.imagen.timesteps,
-        noise_schedules=cfg.imagen.noise_schedules,
-        pred_objectives=cfg.imagen.pred_objectives,
-        cond_drop_prob=cfg.imagen.cond_drop_prob,
-        random_crop_sizes=cfg.imagen.random_crop_sizes,
+        image_sizes=tuple(im.image_sizes),
+        channels=im.unets[0].channels,
+        video=im.video,
+        video_frames=im.video_frames,
+        timesteps=im.timesteps,
+        noise_schedules=im.noise_schedules,
+        pred_objectives=im.pred_objectives,
+        loss_type=im.loss_type,
+        cond_drop_prob=im.cond_drop_prob,
+        random_crop_sizes=im.random_crop_sizes,
+        condition_on_text=im.condition_on_text,
+        text_encoder_name=im.text_encoder_name,
+        text_embed_dim=text_dim,
+        lowres_sample_noise_level=im.lowres_sample_noise_level,
+        per_sample_random_aug_noise_level=im.per_sample_random_aug_noise_level,
+        lowres_noise_schedule=im.lowres_noise_schedule,
+        dynamic_thresholding=im.dynamic_thresholding,
+        dynamic_thresholding_percentile=im.dynamic_thresholding_percentile,
+        min_snr_loss_weight=im.min_snr_loss_weight,
+        min_snr_gamma=im.min_snr_gamma,
+        auto_normalize_img=im.auto_normalize_img,
+        resize_mode=im.resize_mode,
+        only_train_unet_number=im.only_train_unet_number,
+        temporal_downsample_factor=im.temporal_downsample_factor,
+        resize_cond_video_frames=im.resize_cond_video_frames,
     ), text_dim
 
 

@@ -89,8 +89,24 @@ class Imagen:
     random_crop_sizes: Optional[int | Sequence[Optional[int]]] = None
     dynamic_thresholding: bool | Sequence[bool] = True
     dynamic_thresholding_percentile: float = 0.95
+    # min-SNR reweighting gate + gamma (imagen_pytorch.py:3357-3358)
+    min_snr_loss_weight: bool = True
     min_snr_gamma: Optional[float] = 5.0
     auto_normalize_img: bool = True
+    # cascade-level knob surface parity (imagen_pytorch.py:3312-3360):
+    condition_on_text: bool = True
+    text_encoder_name: str = "google/t5-v1_1-base"
+    text_embed_dim: Optional[int] = None
+    # log-SNR schedule for the lowres aug-noise tower (:3347-3349)
+    lowres_noise_schedule: str = "linear"
+    # resize method for all stage-to-stage resizes (:3356,3483)
+    resize_mode: str = "nearest"
+    # lock training to one stage (:3359; the trainer enforces its own
+    # only_train_unet on top)
+    only_train_unet_number: Optional[int] = None
+    # per-stage frame-count reduction for video cascades (:3354,3487-3494)
+    temporal_downsample_factor: int | Sequence[int] = 1
+    resize_cond_video_frames: bool = True
 
     def __post_init__(self):
         n = len(self.unets)
@@ -100,14 +116,39 @@ class Imagen:
         self.pred_objectives = _cast_per_unet(self.pred_objectives, n)
         self.dynamic_thresholding = _cast_per_unet(self.dynamic_thresholding, n)
         self.random_crop_sizes = _cast_per_unet(self.random_crop_sizes, n)
+        self.temporal_downsample_factor = _cast_per_unet(
+            self.temporal_downsample_factor, n
+        )
+        if self.video:
+            tdf = self.temporal_downsample_factor
+            assert tdf[-1] == 1, (
+                "downsample factor of last stage must be 1 "
+                "(imagen_pytorch.py:3493)"
+            )
+            assert tuple(sorted(tdf, reverse=True)) == tuple(tdf), (
+                "temporal downsample factors must be descending "
+                "(imagen_pytorch.py:3494)"
+            )
+            for f in tdf:
+                assert self.video_frames % f == 0, (
+                    f"frames {self.video_frames} must divide factor {f} "
+                    "(imagen_pytorch.py:474)"
+                )
         self.noise_schedulers = [
             ContinuousDiffusion(noise_schedule=s, num_timesteps=t)
             for s, t in zip(self.noise_schedules, self.timesteps)
         ]
-        # lowres aug noise always uses the linear log-SNR schedule
-        # (imagen_pytorch.py:3347-3349)
-        self.lowres_noise_schedule = ContinuousDiffusion(noise_schedule="linear")
+        # lowres aug noise scheduler (imagen_pytorch.py:3347-3349; the
+        # reference defaults it to the linear log-SNR schedule)
+        self.lowres_scheduler = ContinuousDiffusion(
+            noise_schedule=self.lowres_noise_schedule
+        )
         self.loss_fn = _LOSSES[self.loss_type]
+
+    def _stage_frames(self, unet_index: int) -> int:
+        """Frame count generated at a stage (calc_all_frame_dims,
+        imagen_pytorch.py:454-477)."""
+        return self.video_frames // self.temporal_downsample_factor[unet_index]
 
 
     def _random_aligned_crop(self, rng: jax.Array, crop: int, *arrays):
@@ -128,15 +169,21 @@ class Imagen:
 
         return tuple(cut(a) for a in arrays)
 
-    def _resize(self, x, size: int):
-        """Frame-aware resize: folds the frame axis for video batches
-        (the reference's resize_video_to, imagen_video.py utilities)."""
+    def _resize(self, x, size: int, frames: Optional[int] = None):
+        """Frame-aware resize using ``resize_mode`` (imagen_pytorch.py:
+        3483): folds the frame axis for video batches (resize_video_to),
+        and retimes to ``frames`` when given (scale_video_time)."""
         if x.ndim == 5:
+            tgt_f = frames or x.shape[1]
+            if x.shape[1] != tgt_f:
+                from .unet3d import scale_video_time
+
+                x = scale_video_time(x, tgt_f, method=self.resize_mode)
             b, f = x.shape[:2]
             flat = x.reshape(b * f, *x.shape[2:])
-            out = resize_image(flat, size, size)
+            out = resize_image(flat, size, size, method=self.resize_mode)
             return out.reshape(b, f, *out.shape[1:])
-        return resize_image(x, size, size)
+        return resize_image(x, size, size, method=self.resize_mode)
 
     # -- init ---------------------------------------------------------------
 
@@ -145,7 +192,9 @@ class Imagen:
         size = self.image_sizes[unet_index]
         b = 2
         if self.video:
-            x = jnp.zeros((b, self.video_frames, size, size, self.channels))
+            x = jnp.zeros(
+                (b, self._stage_frames(unet_index), size, size, self.channels)
+            )
         else:
             x = jnp.zeros((b, size, size, self.channels))
         noise_cond = jnp.zeros((b,))
@@ -172,11 +221,25 @@ class Imagen:
         train: bool = True,
     ) -> jnp.ndarray:
         """Stage loss (imagen_pytorch.py:4284-4441 + forward:4443-4594)."""
+        if self.only_train_unet_number is not None:
+            assert unet_index == self.only_train_unet_number - 1, (
+                f"cascade locked to unet {self.only_train_unet_number} "
+                "(imagen_pytorch.py:3359 only_train_unet_number)"
+            )
+        if not self.condition_on_text:
+            text_embeds = text_mask = None
         unet = self.unets[unet_index]
         scheduler = self.noise_schedulers[unet_index]
         objective = self.pred_objectives[unet_index]
         size = self.image_sizes[unet_index]
         b = images.shape[0]
+        is_video = self.video and images.ndim == 5
+        cur_frames = self._stage_frames(unet_index) if is_video else None
+        prev_frames = (
+            self._stage_frames(unet_index - 1)
+            if is_video and unet_index > 0 and self.resize_cond_video_frames
+            else None
+        )
 
         r_t, r_noise, r_drop, r_aug, r_augn = jax.random.split(rng, 5)
 
@@ -189,23 +252,23 @@ class Imagen:
         lowres_aug_times = None
         if getattr(unet, "lowres_cond", False):
             prev_size = self.image_sizes[unet_index - 1]
-            lowres = self._resize(x_start, prev_size)
-            lowres_cond_img = self._resize(lowres, size)
+            lowres = self._resize(x_start, prev_size, frames=prev_frames)
+            lowres_cond_img = self._resize(lowres, size, frames=cur_frames)
             # augment with noise and tell the unet the level
             # (imagen_pytorch.py:4355-4370)
             if self.per_sample_random_aug_noise_level:
-                lowres_aug_times = self.lowres_noise_schedule.sample_random_times(
+                lowres_aug_times = self.lowres_scheduler.sample_random_times(
                     r_aug, b
                 )
             else:
                 aug = jax.random.uniform(r_aug, ())
                 lowres_aug_times = jnp.full((b,), 1.0) * aug
             lr_noise = jax.random.normal(r_augn, lowres_cond_img.shape)
-            lowres_cond_img, *_ = self.lowres_noise_schedule.q_sample(
+            lowres_cond_img, *_ = self.lowres_scheduler.q_sample(
                 lowres_cond_img, lowres_aug_times, lr_noise
             )
 
-        x_start = self._resize(x_start, size)
+        x_start = self._resize(x_start, size, frames=cur_frames)
         crop = self.random_crop_sizes[unet_index]
         if crop:
             x_start, lowres_cond_img = self._random_aligned_crop(
@@ -227,7 +290,7 @@ class Imagen:
         if lowres_cond_img is not None:
             kwargs.update(
                 lowres_cond_img=lowres_cond_img,
-                lowres_noise_cond=self.lowres_noise_schedule.get_condition(
+                lowres_noise_cond=self.lowres_scheduler.get_condition(
                     lowres_aug_times
                 ),
             )
@@ -263,8 +326,9 @@ class Imagen:
             axis=tuple(range(1, err.ndim)),
         )
 
-        # min-SNR-gamma reweighting (imagen_pytorch.py:4416-4438)
-        if self.min_snr_gamma is not None:
+        # min-SNR-gamma reweighting (imagen_pytorch.py:4416-4438), gated
+        # by min_snr_loss_weight (:3357)
+        if self.min_snr_loss_weight and self.min_snr_gamma is not None:
             snr = jnp.exp(log_snr)
             clipped = jnp.minimum(snr, self.min_snr_gamma)
             if objective == "noise":
@@ -301,7 +365,9 @@ class Imagen:
         use_thresh = self.dynamic_thresholding[unet_index]
         size = self.image_sizes[unet_index]
         if self.video:
-            shape = (batch, self.video_frames, size, size, self.channels)
+            shape = (
+                batch, self._stage_frames(unet_index), size, size, self.channels
+            )
         else:
             shape = (batch, size, size, self.channels)
 
@@ -376,6 +442,8 @@ class Imagen:
             "inpaint_images and inpaint_masks must be given together "
             "(elucidated_imagen.py:613 asserts the same)"
         )
+        if not self.condition_on_text:
+            text_embeds = text_mask = None
         img = start_image_or_video
         n = len(self.unets)
         for idx in range(start_at_unet_number - 1, n):
@@ -386,16 +454,21 @@ class Imagen:
             if getattr(unet, "lowres_cond", False):
                 assert img is not None, "SR stage requires a previous image"
                 size = self.image_sizes[idx]
-                lowres_cond_img = self._resize(img, size)
+                frames = (
+                    self._stage_frames(idx)
+                    if self.video and self.resize_cond_video_frames
+                    else None
+                )
+                lowres_cond_img = self._resize(img, size, frames=frames)
                 aug_times = jnp.full(
                     (batch_size,), self.lowres_sample_noise_level
                 )
-                lowres_cond_img, *_ = self.lowres_noise_schedule.q_sample(
+                lowres_cond_img, *_ = self.lowres_scheduler.q_sample(
                     lowres_cond_img,
                     aug_times,
                     jax.random.normal(aug_rng, lowres_cond_img.shape),
                 )
-                lowres_noise_cond = self.lowres_noise_schedule.get_condition(
+                lowres_noise_cond = self.lowres_scheduler.get_condition(
                     aug_times
                 )
             img = self._stage_sample(
@@ -445,10 +518,24 @@ class ElucidatedImagen(Imagen):
         train: bool = True,
     ) -> jnp.ndarray:
         """EDM training loss (elucidated_imagen.py:700-790)."""
+        if self.only_train_unet_number is not None:
+            assert unet_index == self.only_train_unet_number - 1, (
+                f"cascade locked to unet {self.only_train_unet_number} "
+                "(imagen_pytorch.py:3359 only_train_unet_number)"
+            )
+        if not self.condition_on_text:
+            text_embeds = text_mask = None
         unet = self.unets[unet_index]
         cfg = self.edm_configs[unet_index]
         size = self.image_sizes[unet_index]
         b = images.shape[0]
+        is_video = self.video and images.ndim == 5
+        cur_frames = self._stage_frames(unet_index) if is_video else None
+        prev_frames = (
+            self._stage_frames(unet_index - 1)
+            if is_video and unet_index > 0 and self.resize_cond_video_frames
+            else None
+        )
         r_sigma, r_noise, r_drop, r_aug, r_augn = jax.random.split(rng, 5)
 
         x_start = images
@@ -459,17 +546,17 @@ class ElucidatedImagen(Imagen):
         lowres_aug_times = None
         if getattr(unet, "lowres_cond", False):
             prev_size = self.image_sizes[unet_index - 1]
-            lowres = self._resize(x_start, prev_size)
-            lowres_cond_img = self._resize(lowres, size)
+            lowres = self._resize(x_start, prev_size, frames=prev_frames)
+            lowres_cond_img = self._resize(lowres, size, frames=cur_frames)
             aug = jax.random.uniform(r_aug, ())
             lowres_aug_times = jnp.full((b,), 1.0) * aug
-            lowres_cond_img, *_ = self.lowres_noise_schedule.q_sample(
+            lowres_cond_img, *_ = self.lowres_scheduler.q_sample(
                 lowres_cond_img,
                 lowres_aug_times,
                 jax.random.normal(r_augn, lowres_cond_img.shape),
             )
 
-        x_start = self._resize(x_start, size)
+        x_start = self._resize(x_start, size, frames=cur_frames)
         crop = self.random_crop_sizes[unet_index]
         if crop:
             x_start, lowres_cond_img = self._random_aligned_crop(
@@ -493,7 +580,7 @@ class ElucidatedImagen(Imagen):
         if lowres_cond_img is not None:
             kwargs.update(
                 lowres_cond_img=lowres_cond_img,
-                lowres_noise_cond=self.lowres_noise_schedule.get_condition(
+                lowres_noise_cond=self.lowres_scheduler.get_condition(
                     lowres_aug_times
                 ),
             )
@@ -525,7 +612,9 @@ class ElucidatedImagen(Imagen):
         cfg = self.edm_configs[unet_index]
         size = self.image_sizes[unet_index]
         if self.video:
-            shape = (batch, self.video_frames, size, size, self.channels)
+            shape = (
+                batch, self._stage_frames(unet_index), size, size, self.channels
+            )
         else:
             shape = (batch, size, size, self.channels)
         use_thresh = self.dynamic_thresholding[unet_index]

@@ -188,54 +188,94 @@ class ResnetBlock(nn.Module):
 
 
 class TransformerBlock(nn.Module):
-    """Self-attention + FF over image tokens (imagen_pytorch.py:2103-2160).
+    """Self-attention + FF over image tokens (imagen_pytorch.py:2103-2165).
+
+    ``depth`` stacks (attn, ff) pairs (the reference's layer_attns_depth /
+    layer_mid_attns_depth knobs, imagen_pytorch.py:2368-2369,2680).
 
     ``cosine_sim_attn`` switches to the cascade Attention's QK treatment
     (imagen_pytorch.py:1264-1270): l2-normalize q and k per head, apply
     learnable per-dim scales, use a fixed logit scale (8). Realized by
-    pre-scaling q so the flash kernel's 1/sqrt(d) yields exactly 8."""
+    pre-scaling q so the flash kernel's 1/sqrt(d) yields exactly 8.
+
+    With ``context`` (the reference's layer_attns_add_text_cond pathway,
+    imagen_pytorch.py:2370 + Attention.to_context at :1214), extra
+    key/value pairs are projected from the time+text context tokens and
+    broadcast across heads (the reference shares a single kv head for
+    context — multi-query style). Context attention routes through the
+    einsum path (kv length differs from q; the flash kernel assumes
+    square blocks)."""
 
     n_heads: int = 8
     head_dim: Optional[int] = None  # None -> c // n_heads (min 16)
     ff_mult: int = 2
+    depth: int = 1
     cosine_sim_attn: bool = False
     cosine_sim_scale: float = 8.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         b, h, w, c = x.shape
         tokens = x.reshape(b, h * w, c)
-        normed = nn.LayerNorm(dtype=self.dtype, name="attn_ln")(tokens)
         head_dim = self.head_dim or max(c // self.n_heads, 16)
         inner = head_dim * self.n_heads
-        qkv = nn.Dense(3 * inner, use_bias=False, dtype=self.dtype, name="qkv")(
-            normed
-        )
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        reshape = lambda t: t.reshape(b, h * w, self.n_heads, head_dim)
-        q, k, v = reshape(q), reshape(k), reshape(v)
-        if self.cosine_sim_attn:
-            q_scale = self.param(
-                "q_scale", nn.initializers.ones, (head_dim,), jnp.float32
-            ).astype(self.dtype)
-            k_scale = self.param(
-                "k_scale", nn.initializers.ones, (head_dim,), jnp.float32
-            ).astype(self.dtype)
-            q = _l2norm(q) * q_scale
-            k = _l2norm(k) * k_scale
-            # attention_core divides by sqrt(head_dim); fold in scale * sqrt(d)
-            q = q * (self.cosine_sim_scale * head_dim**0.5)
-        out = attention_core(q, k, v)
-        out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn_out")(
-            out.reshape(b, h * w, inner)
-        )
-        tokens = tokens + out
-        ff = nn.LayerNorm(dtype=self.dtype, name="ff_ln")(tokens)
-        ff = nn.Dense(c * self.ff_mult, dtype=self.dtype, name="ff1")(ff)
-        ff = nn.gelu(ff)
-        ff = nn.Dense(c, dtype=self.dtype, name="ff2")(ff)
-        tokens = tokens + ff
+
+        for layer in range(self.depth):
+            # layer-0 param names stay unsuffixed for checkpoint
+            # compatibility with the depth=1 builds of earlier rounds
+            sfx = "" if layer == 0 else f"_d{layer}"
+            normed = nn.LayerNorm(dtype=self.dtype, name=f"attn_ln{sfx}")(tokens)
+            qkv = nn.Dense(
+                3 * inner, use_bias=False, dtype=self.dtype, name=f"qkv{sfx}"
+            )(normed)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            reshape = lambda t: t.reshape(b, h * w, self.n_heads, head_dim)
+            q, k, v = reshape(q), reshape(k), reshape(v)
+            if context is not None:
+                # single shared kv head from context, broadcast over heads
+                # (imagen_pytorch.py:1214,1244-1250)
+                ckv = nn.Dense(
+                    2 * head_dim,
+                    dtype=self.dtype,
+                    name=f"to_context{sfx}",
+                )(nn.LayerNorm(dtype=self.dtype, name=f"ctx_ln{sfx}")(context))
+                ck, cv = jnp.split(ckv, 2, axis=-1)
+                ck = jnp.broadcast_to(
+                    ck[:, :, None, :], (b, ck.shape[1], self.n_heads, head_dim)
+                )
+                cv = jnp.broadcast_to(
+                    cv[:, :, None, :], (b, cv.shape[1], self.n_heads, head_dim)
+                )
+                k = jnp.concatenate([ck, k], axis=1)
+                v = jnp.concatenate([cv, v], axis=1)
+            if self.cosine_sim_attn:
+                q_scale = self.param(
+                    f"q_scale{sfx}", nn.initializers.ones, (head_dim,), jnp.float32
+                ).astype(self.dtype)
+                k_scale = self.param(
+                    f"k_scale{sfx}", nn.initializers.ones, (head_dim,), jnp.float32
+                ).astype(self.dtype)
+                q = _l2norm(q) * q_scale
+                k = _l2norm(k) * k_scale
+                # attention_core divides by sqrt(head_dim); fold in scale*sqrt(d)
+                q = q * (self.cosine_sim_scale * head_dim**0.5)
+            out = attention_core(
+                q, k, v, use_flash=False if context is not None else None
+            )
+            out = nn.Dense(
+                c, use_bias=False, dtype=self.dtype, name=f"attn_out{sfx}"
+            )(out.reshape(b, h * w, inner))
+            tokens = tokens + out
+            ff = nn.LayerNorm(dtype=self.dtype, name=f"ff_ln{sfx}")(tokens)
+            ff = nn.Dense(c * self.ff_mult, dtype=self.dtype, name=f"ff1{sfx}")(ff)
+            ff = nn.gelu(ff)
+            ff = nn.Dense(c, dtype=self.dtype, name=f"ff2{sfx}")(ff)
+            tokens = tokens + ff
         return tokens.reshape(b, h, w, c)
 
 
@@ -266,8 +306,26 @@ class ImagenUNet(nn.Module):
     attn_heads: int = 8
     attn_dim_head: int = 64  # imagen Attention dim_head default
     ff_mult: int = 2  # transformer FF expansion (imagen_pytorch.py:2103)
+    # stacked (attn, ff) depth per attended level / at the bottleneck
+    # (imagen_pytorch.py:2368-2369)
+    layer_attns_depth: int | Sequence[int] = 1
+    layer_mid_attns_depth: int = 1
+    # feed the time+text context tokens into the self-attention blocks as
+    # extra kv (Imagen appendix D.3.1; imagen_pytorch.py:2370)
+    layer_attns_add_text_cond: bool = True
+    # attention at the bottleneck (off for high-res SR stages, :2371,2680)
+    attend_at_middle: bool = True
     resnet_groups: int = 8  # GroupNorm groups in resnet blocks
+    init_dim: Optional[int] = None  # init conv width, defaults to dim (:2426)
     init_conv_kernel_size: int = 7  # init conv kernel (:2418)
+    final_conv_kernel_size: int = 3  # output head kernel (:2392,2750)
+    # resize method for in-net conditioning-image resizes (:2394,2967)
+    resize_mode: str = "nearest"
+    # accepted for reference config compatibility; BOTH are dead knobs in
+    # the reference too: `num_image_tokens` (imagen_pytorch.py:2355) and
+    # `dropout` (:2386) are defined in Unet.__init__ and never consumed.
+    num_image_tokens: int = 4
+    dropout: float = 0.0
     # extra full-width resnet block before the final conv (:3165-3180)
     final_resnet_block: bool = True
     # concat the init-conv features into the final conv input (:3162)
@@ -279,8 +337,9 @@ class ImagenUNet(nn.Module):
     use_linear_cross_attn: bool | Sequence[bool] = False
     # cosine-sim QK-normalized attention (imagen_pytorch.py:1171)
     cosine_sim_attn: bool = False
-    # skip concat scaled by 2^-0.5 (imagen_pytorch.py:2602,3146)
-    scale_skip_connection: bool = False
+    # skip concat scaled by 2^-0.5 (imagen_pytorch.py:2602,3146;
+    # reference default is True, :2390)
+    scale_skip_connection: bool = True
     # fuse all decoder-level fmaps at the final resolution
     # (UpsampleCombiner, imagen_pytorch.py:2278,3155-3160)
     combine_upsample_fmaps: bool = False
@@ -288,6 +347,7 @@ class ImagenUNet(nn.Module):
     cond_images_channels: int = 0
     self_cond: bool = False
     learned_sinu_dim: int = 16
+    num_time_tokens: int = 2  # time tokens in the context (:2356,2475)
     max_text_len: int = 256
     # text pooling: 'attention_pool' (masked mean) or 'perceiver'
     # (PerceiverResampler, imagen_pytorch.py:1068-1170)
@@ -353,7 +413,7 @@ class ImagenUNet(nn.Module):
                 else cond_images.astype(self.dtype)
             )
             if ci.shape[1:3] != (h_in, w_in):
-                ci = resize_image(ci, h_in, w_in)
+                ci = resize_image(ci, h_in, w_in, method=self.resize_mode)
             parts.append(ci)
         h = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
 
@@ -370,7 +430,7 @@ class ImagenUNet(nn.Module):
         time_cond = nn.Dense(time_cond_dim, dtype=self.dtype, name="time_mlp2")(
             t_hid
         )
-        n_time_tokens = 2
+        n_time_tokens = self.num_time_tokens
         time_tokens = nn.Dense(
             cond_dim * n_time_tokens, dtype=self.dtype, name="to_time_tokens"
         )(t_hid).reshape(b, n_time_tokens, cond_dim)
@@ -484,15 +544,25 @@ class ImagenUNet(nn.Module):
         )
 
         def per_level(flag):
-            return [flag] * n_levels if isinstance(flag, bool) else list(flag)
+            return (
+                [flag] * n_levels
+                if isinstance(flag, (bool, int))
+                else list(flag)
+            )
 
+        layer_attns = per_level(self.layer_attns)
+        layer_cross_attns = per_level(self.layer_cross_attns)
+        attn_depths = per_level(self.layer_attns_depth)
         linear_attns = per_level(self.use_linear_attn)
         linear_cross = per_level(self.use_linear_cross_attn)
         skip_scale = 2**-0.5 if self.scale_skip_connection else 1.0
+        # context fed to self-attention blocks (appendix D.3.1 pathway)
+        attn_context = context if self.layer_attns_add_text_cond else None
 
+        init_width = self.init_dim or dims[0]
         if self.use_cross_embed:
             h = CrossEmbedLayer(
-                dims[0],
+                init_width,
                 kernel_sizes=tuple(self.init_cross_embed_kernel_sizes),
                 dtype=self.dtype,
                 name="init_cross_embed",
@@ -500,14 +570,14 @@ class ImagenUNet(nn.Module):
         else:
             ks = self.init_conv_kernel_size
             h = nn.Conv(
-                dims[0], (ks, ks), padding=ks // 2, dtype=self.dtype,
+                init_width, (ks, ks), padding=ks // 2, dtype=self.dtype,
                 name="init_conv",
             )(h)
         init_feats = h if self.init_conv_to_final_conv_residual else None
 
         skips = []
         for lvl in range(n_levels):
-            use_cross = self.layer_cross_attns[lvl]
+            use_cross = layer_cross_attns[lvl]
             use_lin_cross = not use_cross and linear_cross[lvl]
             for bi in range(n_blocks[lvl]):
                 h = ResBlock(
@@ -525,15 +595,16 @@ class ImagenUNet(nn.Module):
                     context if (use_cross or use_lin_cross) else None,
                     context_mask if (use_cross or use_lin_cross) else None,
                 )
-            if self.layer_attns[lvl]:
+            if layer_attns[lvl]:
                 h = TransformerBlock(
                     n_heads=self.attn_heads,
                     head_dim=self.attn_dim_head,
                     ff_mult=self.ff_mult,
+                    depth=attn_depths[lvl],
                     cosine_sim_attn=self.cosine_sim_attn,
                     dtype=self.dtype,
                     name=f"down_{lvl}_attn",
-                )(h)
+                )(h, attn_context)
             elif linear_attns[lvl]:
                 h = h + LinearAttention(
                     dtype=self.dtype, name=f"down_{lvl}_linattn"
@@ -566,14 +637,16 @@ class ImagenUNet(nn.Module):
             dtype=self.dtype,
             name="mid_res1",
         )(h, time_cond, context, context_mask)
-        h = TransformerBlock(
-            n_heads=self.attn_heads,
-            head_dim=self.attn_dim_head,
-            ff_mult=self.ff_mult,
-            cosine_sim_attn=self.cosine_sim_attn,
-            dtype=self.dtype,
-            name="mid_attn",
-        )(h)
+        if self.attend_at_middle:
+            h = TransformerBlock(
+                n_heads=self.attn_heads,
+                head_dim=self.attn_dim_head,
+                ff_mult=self.ff_mult,
+                depth=self.layer_mid_attns_depth,
+                cosine_sim_attn=self.cosine_sim_attn,
+                dtype=self.dtype,
+                name="mid_attn",
+            )(h, attn_context)
         h = ResnetBlock(
             dims[-1],
             cond_dim=cond_dim,
@@ -584,7 +657,7 @@ class ImagenUNet(nn.Module):
 
         up_hiddens = []
         for lvl in reversed(range(n_levels)):
-            use_cross = self.layer_cross_attns[lvl]
+            use_cross = layer_cross_attns[lvl]
             use_lin_cross = not use_cross and linear_cross[lvl]
             if lvl < n_levels - 1:
                 if self.pixel_shuffle_upsample:
@@ -593,7 +666,7 @@ class ImagenUNet(nn.Module):
                     )(h)
                 else:
                     b_, hh, ww, _ = h.shape
-                    h = resize_image(h, hh * 2, ww * 2, method="nearest")
+                    h = resize_image(h, hh * 2, ww * 2, method=self.resize_mode)
                     h = nn.Conv(
                         dims[lvl],
                         (3, 3),
@@ -618,15 +691,16 @@ class ImagenUNet(nn.Module):
                     context if (use_cross or use_lin_cross) else None,
                     context_mask if (use_cross or use_lin_cross) else None,
                 )
-            if self.layer_attns[lvl]:
+            if layer_attns[lvl]:
                 h = TransformerBlock(
                     n_heads=self.attn_heads,
                     head_dim=self.attn_dim_head,
                     ff_mult=self.ff_mult,
+                    depth=attn_depths[lvl],
                     cosine_sim_attn=self.cosine_sim_attn,
                     dtype=self.dtype,
                     name=f"up_{lvl}_attn",
-                )(h)
+                )(h, attn_context)
             elif linear_attns[lvl]:
                 h = h + LinearAttention(
                     dtype=self.dtype, name=f"up_{lvl}_linattn"
@@ -662,10 +736,11 @@ class ImagenUNet(nn.Module):
             # output head (imagen_pytorch.py:3186)
             h = jnp.concatenate([h, lowres_for_head], axis=-1)
 
+        fk = self.final_conv_kernel_size
         out = nn.Conv(
             self.channels_out or self.channels,
-            (3, 3),
-            padding=1,
+            (fk, fk),
+            padding=fk // 2,
             dtype=jnp.float32,
             name="final_conv",
         )(h.astype(jnp.float32))
@@ -698,6 +773,84 @@ class ImagenUNet(nn.Module):
             channels_out=channels_out,
             cond_on_text=cond_on_text,
         )
+
+
+# Reference Unet.__init__ kwarg -> ImagenUNet field. Every knob of
+# imagen_pytorch.py:2349-2398 is either mapped, identical, or documented
+# as dead in the reference itself (value None below = accepted, ignored).
+_REF_KNOB_MAP = {
+    "dim": "dim",
+    "text_embed_dim": "text_embed_dim",
+    "num_resnet_blocks": "num_resnet_blocks",
+    "cond_dim": "cond_dim",
+    "num_image_tokens": "num_image_tokens",  # dead in reference (:2355)
+    "num_time_tokens": "num_time_tokens",
+    "learned_sinu_pos_emb_dim": "learned_sinu_dim",
+    "out_dim": "channels_out",
+    "dim_mults": "dim_mults",
+    "cond_images_channels": "cond_images_channels",
+    "channels": "channels",
+    "channels_out": "channels_out",
+    "attn_dim_head": "attn_dim_head",
+    "attn_heads": "attn_heads",
+    "ff_mult": "ff_mult",
+    "lowres_cond": "lowres_cond",
+    "layer_attns": "layer_attns",
+    "layer_attns_depth": "layer_attns_depth",
+    "layer_mid_attns_depth": "layer_mid_attns_depth",
+    "layer_attns_add_text_cond": "layer_attns_add_text_cond",
+    "attend_at_middle": "attend_at_middle",
+    "layer_cross_attns": "layer_cross_attns",
+    "use_linear_attn": "use_linear_attn",
+    "use_linear_cross_attn": "use_linear_cross_attn",
+    "cond_on_text": "cond_on_text",
+    "max_text_len": "max_text_len",
+    "init_dim": "init_dim",
+    "resnet_groups": "resnet_groups",
+    "init_conv_kernel_size": "init_conv_kernel_size",
+    "init_cross_embed": "use_cross_embed",
+    "init_cross_embed_kernel_sizes": "init_cross_embed_kernel_sizes",
+    "cross_embed_downsample": "cross_embed_downsample",
+    "cross_embed_downsample_kernel_sizes": "cross_embed_downsample_kernel_sizes",
+    "attn_pool_text": None,  # special-cased below -> text_pool
+    "attn_pool_num_latents": "num_latents",
+    "dropout": "dropout",  # dead in reference (:2386)
+    "memory_efficient": "memory_efficient",
+    "init_conv_to_final_conv_residual": "init_conv_to_final_conv_residual",
+    "use_global_context_attn": "use_global_context",
+    "scale_skip_connection": "scale_skip_connection",
+    "final_resnet_block": "final_resnet_block",
+    "final_conv_kernel_size": "final_conv_kernel_size",
+    "self_cond": "self_cond",
+    "resize_mode": "resize_mode",
+    "combine_upsample_fmaps": "combine_upsample_fmaps",
+    "pixel_shuffle_upsample": "pixel_shuffle_upsample",
+    # knobs that already use our native names (kept by identity above) plus
+    # our extras (cosine_sim_attn, text_pool, num_latents, dtype) pass
+    # through unchanged when supplied.
+}
+
+
+def imagen_unet_from_ref_config(knobs: dict, **overrides) -> ImagenUNet:
+    """Build an :class:`ImagenUNet` from a reference-named kwarg dict.
+
+    Accepts the full Unet knob surface of imagen_pytorch.py:2349-2398
+    (e.g. a ``unets[i]`` entry of default_config.json) plus this module's
+    native field names; ``overrides`` win over ``knobs``.
+    """
+    field_names = {f for f in ImagenUNet.__dataclass_fields__}
+    kw: dict = {}
+    for key, val in knobs.items():
+        if key == "attn_pool_text":
+            kw["text_pool"] = "perceiver" if val else "attention_pool"
+            continue
+        target = _REF_KNOB_MAP.get(key, key if key in field_names else None)
+        if target is None and key not in _REF_KNOB_MAP:
+            raise TypeError(f"unknown Unet knob {key!r}")
+        if target is not None:
+            kw[target] = tuple(val) if isinstance(val, list) else val
+    kw.update(overrides)
+    return ImagenUNet(**kw)
 
 
 def base_unet_64(**overrides) -> ImagenUNet:
@@ -753,4 +906,5 @@ __all__ = [
     "NullUnet",
     "base_unet_64",
     "sr_unet_256",
+    "imagen_unet_from_ref_config",
 ]

@@ -28,6 +28,27 @@ from ...ops.resize import resize_image
 from .unet import ResnetBlock, TransformerBlock, _attention_pool
 
 
+def resize_video_to(
+    x: jnp.ndarray, height: int, width: int, method: str = "nearest"
+) -> jnp.ndarray:
+    """Spatial resize of a (B, F, H, W, C) video batch, reference-named
+    wrapper (imagen_video.py:139-160) over ops.resize.resize_video."""
+    from ...ops.resize import resize_video
+
+    return resize_video(x, x.shape[1], height, width, method=method)
+
+
+def scale_video_time(
+    x: jnp.ndarray, frames: int, method: str = "nearest"
+) -> jnp.ndarray:
+    """Resample the frame axis of a (B, F, H, W, C) video to ``frames``
+    (imagen_video.py:163-184's scale_video_time): used between cascade
+    stages with different temporal downsample factors."""
+    from ...ops.resize import resize_video
+
+    return resize_video(x, frames, x.shape[2], x.shape[3], method=method)
+
+
 def fold_frames(x: jnp.ndarray):
     """(B, F, H, W, C) -> (B*F, H, W, C)."""
     b, f, h, w, c = x.shape
@@ -72,11 +93,38 @@ class TemporalConv(nn.Module):
         return x + out
 
 
+class DynamicPositionBias(nn.Module):
+    """Continuous relative-position bias over frame distance
+    (imagen_video.py:1180-1221): a small MLP maps the signed frame offset
+    to one bias per head; gathered into an (H, F, F) attention bias."""
+
+    dim: int
+    heads: int
+    depth: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, n: int) -> jnp.ndarray:
+        pos = jnp.arange(-n + 1, n, dtype=jnp.float32)[:, None]  # (2n-1, 1)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="in_proj")(pos)
+        h = nn.silu(nn.LayerNorm(dtype=self.dtype, name="in_ln")(h))
+        for d in range(max(self.depth - 1, 0)):
+            h = nn.Dense(self.dim, dtype=self.dtype, name=f"mid_proj{d}")(h)
+            h = nn.silu(nn.LayerNorm(dtype=self.dtype, name=f"mid_ln{d}")(h))
+        bias = nn.Dense(self.heads, dtype=self.dtype, name="out_proj")(h)
+        i = jnp.arange(n)
+        indices = i[:, None] - i[None, :] + (n - 1)  # (F, F) into 2n-1
+        return bias[indices].transpose(2, 0, 1)  # (H, F, F)
+
+
 class TemporalAttention(nn.Module):
     """Attention across frames for each spatial position
-    (imagen_video.py:253-320). Zero-initialized output projection."""
+    (imagen_video.py:253-320,1415). Zero-initialized output projection;
+    ``rel_pos_bias`` adds the reference's DynamicPositionBias (the
+    temporal_attn lambda always enables it, imagen_video.py:1415)."""
 
     n_heads: int = 4
+    rel_pos_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -94,6 +142,11 @@ class TemporalAttention(nn.Module):
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", reshape(q), reshape(k)
         ) * head_dim**-0.5
+        if self.rel_pos_bias:
+            bias = DynamicPositionBias(
+                dim=c, heads=self.n_heads, dtype=self.dtype, name="rel_pos_bias"
+            )(f)
+            logits = logits + bias[None].astype(logits.dtype)
         wts = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", wts, reshape(v)).reshape(-1, f, inner)
         out = nn.Dense(
@@ -105,6 +158,38 @@ class TemporalAttention(nn.Module):
         )(out)
         tokens = tokens + out
         return tokens.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+
+
+def time_token_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """Shift half the channels back one frame (imagen_video.py:1037-1044,
+    the RWKV-style token shift): x is (B, F, H, W, C); the second channel
+    half at frame i sees frame i-1 (zero-padded at the start)."""
+    x_keep, x_shift = jnp.split(x, 2, axis=-1)
+    x_shift = jnp.pad(x_shift, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1]
+    return jnp.concatenate([x_keep, x_shift], axis=-1)
+
+
+class ShiftFeedForward(nn.Module):
+    """ChanFeedForward with TimeTokenShift (imagen_video.py:1046-1055):
+    LN -> 1x1 expand -> GELU -> time token shift -> LN -> 1x1 project,
+    residual. Applied on (B, F, H, W, C) video tensors after spatial
+    attention, it is the one cross-frame op inside the reference's video
+    TransformerBlock."""
+
+    mult: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        hdim = int(c * self.mult)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = nn.Dense(hdim, use_bias=False, dtype=self.dtype, name="expand")(h)
+        h = nn.gelu(h)
+        h = time_token_shift(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(h)
+        h = nn.Dense(c, use_bias=False, dtype=self.dtype, name="project")(h)
+        return x + h
 
 
 class TemporalPixelShuffleUpsample(nn.Module):
@@ -184,6 +269,9 @@ class ImagenUNet3D(nn.Module):
     # pixel-shuffle-upsamples them back on the way up
     temporal_strides: Sequence[int] = ()
     attn_heads: int = 4
+    # RWKV-style token shift inside the post-attention feedforward
+    # (imagen_video.py ff_time_token_shift, :1046-1055)
+    ff_time_token_shift: bool = True
     lowres_cond: bool = False
     self_cond: bool = False
     learned_sinu_dim: int = 16
@@ -342,6 +430,8 @@ class ImagenUNet3D(nn.Module):
                     n_heads=self.attn_heads, dtype=self.dtype, name=f"down_{lvl}_attn"
                 )(flat)
             hx = unfold_frames(flat, bf)
+            if self.layer_attns[lvl] and self.ff_time_token_shift and not ignore_time:
+                hx = ShiftFeedForward(dtype=self.dtype, name=f"down_{lvl}_shift_ff")(hx)
             if not ignore_time:
                 hx = TemporalConv(
                     dims[lvl], dtype=self.dtype, name=f"down_{lvl}_tconv"
@@ -456,6 +546,11 @@ __all__ = [
     "TemporalAttention",
     "TemporalDownsample",
     "TemporalPixelShuffleUpsample",
+    "DynamicPositionBias",
+    "ShiftFeedForward",
+    "time_token_shift",
+    "resize_video_to",
+    "scale_video_time",
     "fold_frames",
     "unfold_frames",
 ]
