@@ -130,14 +130,29 @@ def _build_cascade(cfg: RootConfig):
 
     text_dim = get_encoded_dim(cfg.imagen.text_encoder_name)
 
-    unets = [
-        imagen_unet_from_ref_config(
-            u.model_dump(),
-            text_embed_dim=text_dim,
-            lowres_cond=i > 0,
-        )
-        for i, u in enumerate(cfg.imagen.unets)
-    ]
+    if cfg.imagen.video:
+        # video cascade dispatches Unet3D stages (configs.py video flag;
+        # imagen_video.py Unet3D). Only explicitly-set unet keys are
+        # forwarded so 2-D-only schema defaults don't leak into the 3-D net.
+        from ..models.imagen.unet3d import unet3d_from_ref_config
+
+        unets = [
+            unet3d_from_ref_config(
+                u.model_dump(exclude_unset=True),
+                text_embed_dim=text_dim,
+                lowres_cond=i > 0,
+            )
+            for i, u in enumerate(cfg.imagen.unets)
+        ]
+    else:
+        unets = [
+            imagen_unet_from_ref_config(
+                u.model_dump(),
+                text_embed_dim=text_dim,
+                lowres_cond=i > 0,
+            )
+            for i, u in enumerate(cfg.imagen.unets)
+        ]
     cls = ElucidatedImagen if (cfg.type == "elucidated" or cfg.imagen.elucidated) else Imagen
     im = cfg.imagen
     return cls(
@@ -213,9 +228,12 @@ def train(config_path, unet_number, steps, synthetic, data_dir):
     rng = jax.random.key(0)
 
     if synthetic or data_dir is None:
-        images = np.random.default_rng(0).uniform(
-            size=(batch_size, size, size, channels)
-        ).astype(np.float32)
+        shape = (
+            (batch_size, cfg.imagen.video_frames, size, size, channels)
+            if cfg.imagen.video
+            else (batch_size, size, size, channels)
+        )
+        images = np.random.default_rng(0).uniform(size=shape).astype(np.float32)
         captions = [f"synthetic sample {i}" for i in range(batch_size)]
     else:
         files = sorted(Path(data_dir).glob("*.npy"))[:batch_size]

@@ -25,6 +25,7 @@ from flax import linen as nn
 
 from ...ops.embeddings import learned_sinusoidal_embedding
 from ...ops.resize import resize_image
+from .blocks import LinearAttention
 from .unet import ResnetBlock, TransformerBlock, _attention_pool
 
 
@@ -121,10 +122,13 @@ class TemporalAttention(nn.Module):
     """Attention across frames for each spatial position
     (imagen_video.py:253-320,1415). Zero-initialized output projection;
     ``rel_pos_bias`` adds the reference's DynamicPositionBias (the
-    temporal_attn lambda always enables it, imagen_video.py:1415)."""
+    temporal_attn lambda always enables it, imagen_video.py:1415), and
+    ``causal`` masks future frames (time_causal_attn)."""
 
     n_heads: int = 4
     rel_pos_bias: bool = True
+    rel_pos_bias_depth: int = 2
+    causal: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -144,9 +148,19 @@ class TemporalAttention(nn.Module):
         ) * head_dim**-0.5
         if self.rel_pos_bias:
             bias = DynamicPositionBias(
-                dim=c, heads=self.n_heads, dtype=self.dtype, name="rel_pos_bias"
+                dim=c,
+                heads=self.n_heads,
+                depth=self.rel_pos_bias_depth,
+                dtype=self.dtype,
+                name="rel_pos_bias",
             )(f)
             logits = logits + bias[None].astype(logits.dtype)
+        if self.causal:
+            i = jnp.arange(f)
+            causal_mask = i[:, None] >= i[None, :]  # query attends past/self
+            logits = jnp.where(
+                causal_mask[None, None], logits, jnp.float32(-1e9)
+            )
         wts = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", wts, reshape(v)).reshape(-1, f, inner)
         out = nn.Dense(
@@ -250,32 +264,61 @@ class TemporalDownsample(nn.Module):
 
 
 class ImagenUNet3D(nn.Module):
-    """Video-stage UNet with the ImagenUNet conditioning surface.
+    """Video-stage UNet with the full ImagenUNet knob surface
+    (imagen_video.py Unet3D, :1222-1330 kwargs).
 
     Signature matches ImagenUNet but takes (B, F, H, W, C) videos; the
-    cascade calls it through the same black-box convention."""
+    cascade calls it through the same black-box convention. Spatial
+    processing reuses the 2-D blocks on frame-folded batches; temporal
+    convs/attention (with DynamicPositionBias) interleave per level."""
 
     dim: int = 64
     dim_mults: Sequence[int] = (1, 2, 4)
     channels: int = 3
+    channels_out: Optional[int] = None
     cond_dim: Optional[int] = None
     text_embed_dim: int = 768
-    num_resnet_blocks: int = 1
-    layer_attns: Sequence[bool] = (False, True, True)
-    layer_cross_attns: Sequence[bool] = (False, True, True)
-    temporal_attns: Sequence[bool] = (True, True, True)
-    # per-level frame-count stride (imagen_video.py temporal_downsample_factor):
+    cond_on_text: bool = True
+    num_resnet_blocks: int | Sequence[int] = 1
+    layer_attns: bool | Sequence[bool] = (False, True, True)
+    layer_attns_depth: int | Sequence[int] = 1
+    layer_attns_add_text_cond: bool = True
+    attend_at_middle: bool = True
+    layer_mid_attns_depth: int = 1
+    layer_cross_attns: bool | Sequence[bool] = (False, True, True)
+    use_linear_attn: bool | Sequence[bool] = False
+    use_linear_cross_attn: bool | Sequence[bool] = False
+    temporal_attns: bool | Sequence[bool] = (True, True, True)
+    # per-level frame-count stride (imagen_video.py temporal_strides):
     # level i > 1 downsamples frames by that factor on the way down and
     # pixel-shuffle-upsamples them back on the way up
     temporal_strides: Sequence[int] = ()
     attn_heads: int = 4
+    attn_dim_head: Optional[int] = None  # None -> c // n_heads (min 16)
+    ff_mult: int = 2
     # RWKV-style token shift inside the post-attention feedforward
     # (imagen_video.py ff_time_token_shift, :1046-1055)
     ff_time_token_shift: bool = True
+    # causal masking + bias MLP depth for temporal attention
+    # (imagen_video.py time_causal_attn / time_rel_pos_bias_depth, :1415)
+    time_causal_attn: bool = False
+    time_rel_pos_bias_depth: int = 2
     lowres_cond: bool = False
+    cond_images_channels: int = 0
     self_cond: bool = False
     learned_sinu_dim: int = 16
+    num_time_tokens: int = 2
     max_text_len: int = 256
+    resnet_groups: int = 8
+    init_dim: Optional[int] = None
+    init_conv_kernel_size: int = 7
+    final_conv_kernel_size: int = 3
+    final_resnet_block: bool = True
+    init_conv_to_final_conv_residual: bool = False
+    scale_skip_connection: bool = True  # reference default (imagen_video.py)
+    use_global_context: bool = False
+    memory_efficient: bool = False
+    resize_mode: str = "nearest"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -299,7 +342,7 @@ class ImagenUNet3D(nn.Module):
         ignore_time pathway for training a video net on still images
         (imagen_video.py Conv3d/attention ignore_time plumbing). Initialize
         with ignore_time=False so temporal parameters exist."""
-        del train, cond_images
+        del train
         b, f, h_in, w_in, _ = x.shape
         in_dtype = x.dtype
         cond_dim = self.cond_dim or self.dim
@@ -313,12 +356,22 @@ class ImagenUNet3D(nn.Module):
                 else lowres_cond_img.astype(x.dtype)
             )
             if lr.shape[2:4] != (h_in, w_in):
-                flat, bf = fold_frames(lr)
-                lr = unfold_frames(resize_image(flat, h_in, w_in), bf)
+                lr = resize_video_to(lr, h_in, w_in, method=self.resize_mode)
             parts.append(lr.astype(self.dtype))
         if self.self_cond:
             sc = jnp.zeros_like(x) if self_cond is None else self_cond
             parts.append(sc.astype(self.dtype))
+        if self.cond_images_channels:
+            ci = (
+                jnp.zeros(
+                    (b, f, h_in, w_in, self.cond_images_channels), self.dtype
+                )
+                if cond_images is None
+                else cond_images.astype(self.dtype)
+            )
+            if ci.shape[2:4] != (h_in, w_in):
+                ci = resize_video_to(ci, h_in, w_in, method=self.resize_mode)
+            parts.append(ci)
         hx = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
 
         # time conditioning (shared across frames)
@@ -331,6 +384,12 @@ class ImagenUNet3D(nn.Module):
         t_feat = learned_sinusoidal_embedding(noise_cond, sinu_w).astype(self.dtype)
         t_hid = nn.silu(nn.Dense(time_cond_dim, dtype=self.dtype, name="time_mlp1")(t_feat))
         time_cond = nn.Dense(time_cond_dim, dtype=self.dtype, name="time_mlp2")(t_hid)
+        # time tokens join the cross-attention context like the 2-D net
+        # (imagen_pytorch.py:2475; the video net shares that design)
+        time_tokens = nn.Dense(
+            cond_dim * self.num_time_tokens, dtype=self.dtype,
+            name="to_time_tokens",
+        )(t_hid).reshape(b, self.num_time_tokens, cond_dim)
         if self.lowres_cond:
             lr_noise = (
                 jnp.zeros((b,), jnp.float32)
@@ -351,7 +410,8 @@ class ImagenUNet3D(nn.Module):
                 time_cond_dim, dtype=self.dtype, name="lr_mlp2"
             )(lr_hid)
 
-        context = None
+        if not self.cond_on_text:
+            text_embeds = text_mask = None
         context_mask = None
         if text_embeds is not None:
             text_tokens = nn.Dense(cond_dim, dtype=self.dtype, name="text_to_cond")(
@@ -373,8 +433,23 @@ class ImagenUNet3D(nn.Module):
             time_cond = time_cond + nn.Dense(
                 time_cond_dim, dtype=self.dtype, name="text_to_hidden"
             )(pooled)
-            context = nn.LayerNorm(dtype=self.dtype, name="context_ln")(text_tokens)
-            context_mask = text_mask
+            context = nn.LayerNorm(dtype=self.dtype, name="context_ln")(
+                jnp.concatenate([time_tokens, text_tokens], axis=1)
+            )
+            if text_mask is not None:
+                context_mask = jnp.concatenate(
+                    [
+                        jnp.ones((b, self.num_time_tokens), bool),
+                        text_mask.astype(bool),
+                    ],
+                    axis=1,
+                )
+                if cond_drop_mask is not None:
+                    context_mask = jnp.where(
+                        cond_drop_mask[:, None], True, context_mask
+                    )
+        else:
+            context = nn.LayerNorm(dtype=self.dtype, name="context_ln")(time_tokens)
 
         # frame-folded conditioning tensors, recomputed per level because
         # temporal strides change the frame count down the pyramid
@@ -392,6 +467,22 @@ class ImagenUNet3D(nn.Module):
 
         dims = [self.dim * m for m in self.dim_mults]
         n_levels = len(dims)
+
+        def per_level(flag):
+            return (
+                [flag] * n_levels
+                if isinstance(flag, (bool, int))
+                else list(flag)
+            )
+
+        layer_attns = per_level(self.layer_attns)
+        layer_cross_attns = per_level(self.layer_cross_attns)
+        attn_depths = per_level(self.layer_attns_depth)
+        temporal_attns = per_level(self.temporal_attns)
+        linear_attns = per_level(self.use_linear_attn)
+        linear_cross = per_level(self.use_linear_cross_attn)
+        n_blocks = per_level(self.num_resnet_blocks)
+        skip_scale = 2**-0.5 if self.scale_skip_connection else 1.0
         t_strides = (
             list(self.temporal_strides)
             if self.temporal_strides
@@ -399,49 +490,82 @@ class ImagenUNet3D(nn.Module):
         )
         assert len(t_strides) == n_levels
 
+        ResBlock = nn.remat(ResnetBlock) if self.memory_efficient else ResnetBlock
+
+        def spatial_attn(flat, lvl_name, depth, ctx):
+            return TransformerBlock(
+                n_heads=self.attn_heads,
+                head_dim=self.attn_dim_head,
+                ff_mult=self.ff_mult,
+                depth=depth,
+                dtype=self.dtype,
+                name=lvl_name,
+            )(flat, ctx if self.layer_attns_add_text_cond else None)
+
+        def temporal_attn(hx, name):
+            return TemporalAttention(
+                n_heads=self.attn_heads,
+                causal=self.time_causal_attn,
+                rel_pos_bias_depth=self.time_rel_pos_bias_depth,
+                dtype=self.dtype,
+                name=name,
+            )(hx)
+
         flat, bf = fold_frames(hx)
-        flat = nn.Conv(dims[0], (7, 7), padding=3, dtype=self.dtype, name="init_conv")(
-            flat
-        )
+        ks = self.init_conv_kernel_size
+        flat = nn.Conv(
+            self.init_dim or dims[0], (ks, ks), padding=ks // 2,
+            dtype=self.dtype, name="init_conv",
+        )(flat)
         hx = unfold_frames(flat, bf)
+        init_feats = hx if self.init_conv_to_final_conv_residual else None
         if not ignore_time:
-            hx = TemporalConv(dims[0], dtype=self.dtype, name="init_temporal")(hx)
+            hx = TemporalConv(
+                self.init_dim or dims[0], dtype=self.dtype, name="init_temporal"
+            )(hx)
 
         skips = []
         for lvl in range(n_levels):
-            use_cross = self.layer_cross_attns[lvl]
+            use_cross = layer_cross_attns[lvl]
+            use_lin_cross = not use_cross and linear_cross[lvl]
             tc_f, ctx_f, cm_f = folded_cond(hx.shape[1])
             flat, bf = fold_frames(hx)
-            for bi in range(self.num_resnet_blocks):
-                flat = ResnetBlock(
+            for bi in range(n_blocks[lvl]):
+                flat = ResBlock(
                     dims[lvl],
-                    cond_dim=cond_dim if use_cross else None,
+                    cond_dim=cond_dim if (use_cross or use_lin_cross) else None,
                     time_cond_dim=time_cond_dim,
+                    groups=self.resnet_groups,
+                    use_global_context=self.use_global_context,
+                    linear_cross_attn=use_lin_cross,
                     dtype=self.dtype,
                     name=f"down_{lvl}_res{bi}",
                 )(
                     flat,
                     tc_f,
-                    ctx_f if use_cross else None,
-                    cm_f if use_cross else None,
+                    ctx_f if (use_cross or use_lin_cross) else None,
+                    cm_f if (use_cross or use_lin_cross) else None,
                 )
-            if self.layer_attns[lvl]:
-                flat = TransformerBlock(
-                    n_heads=self.attn_heads, dtype=self.dtype, name=f"down_{lvl}_attn"
+            if layer_attns[lvl]:
+                flat = spatial_attn(
+                    flat, f"down_{lvl}_attn", attn_depths[lvl], ctx_f
+                )
+            elif linear_attns[lvl]:
+                flat = flat + LinearAttention(
+                    dtype=self.dtype, name=f"down_{lvl}_linattn"
                 )(flat)
             hx = unfold_frames(flat, bf)
-            if self.layer_attns[lvl] and self.ff_time_token_shift and not ignore_time:
-                hx = ShiftFeedForward(dtype=self.dtype, name=f"down_{lvl}_shift_ff")(hx)
+            if layer_attns[lvl] and self.ff_time_token_shift and not ignore_time:
+                hx = ShiftFeedForward(
+                    mult=self.ff_mult, dtype=self.dtype,
+                    name=f"down_{lvl}_shift_ff",
+                )(hx)
             if not ignore_time:
                 hx = TemporalConv(
                     dims[lvl], dtype=self.dtype, name=f"down_{lvl}_tconv"
                 )(hx)
-                if self.temporal_attns[lvl]:
-                    hx = TemporalAttention(
-                        n_heads=self.attn_heads,
-                        dtype=self.dtype,
-                        name=f"down_{lvl}_tattn",
-                    )(hx)
+                if temporal_attns[lvl]:
+                    hx = temporal_attn(hx, f"down_{lvl}_tattn")
             skips.append(hx)
             if lvl < n_levels - 1:
                 flat, bf = fold_frames(hx)
@@ -467,28 +591,33 @@ class ImagenUNet3D(nn.Module):
 
         tc_f, ctx_f, cm_f = folded_cond(hx.shape[1])
         flat, bf = fold_frames(hx)
-        flat = ResnetBlock(
+        flat = ResBlock(
             dims[-1],
             cond_dim=cond_dim,
             time_cond_dim=time_cond_dim,
+            groups=self.resnet_groups,
             dtype=self.dtype,
             name="mid_res1",
         )(flat, tc_f, ctx_f, cm_f)
-        flat = ResnetBlock(
+        if self.attend_at_middle:
+            flat = spatial_attn(
+                flat, "mid_attn", self.layer_mid_attns_depth, ctx_f
+            )
+        flat = ResBlock(
             dims[-1],
             cond_dim=cond_dim,
             time_cond_dim=time_cond_dim,
+            groups=self.resnet_groups,
             dtype=self.dtype,
             name="mid_res2",
         )(flat, tc_f, ctx_f, cm_f)
         hx = unfold_frames(flat, bf)
         if not ignore_time:
-            hx = TemporalAttention(
-                n_heads=self.attn_heads, dtype=self.dtype, name="mid_tattn"
-            )(hx)
+            hx = temporal_attn(hx, "mid_tattn")
 
         for lvl in reversed(range(n_levels)):
-            use_cross = self.layer_cross_attns[lvl]
+            use_cross = layer_cross_attns[lvl]
+            use_lin_cross = not use_cross and linear_cross[lvl]
             if lvl < n_levels - 1:
                 if t_strides[lvl + 1] > 1 and not ignore_time:
                     hx = TemporalPixelShuffleUpsample(
@@ -499,49 +628,120 @@ class ImagenUNet3D(nn.Module):
                     )(hx)
                 flat, bf = fold_frames(hx)
                 b_, hh, ww, _ = flat.shape
-                flat = resize_image(flat, hh * 2, ww * 2, method="nearest")
+                flat = resize_image(flat, hh * 2, ww * 2, method=self.resize_mode)
                 flat = nn.Conv(
                     dims[lvl], (3, 3), padding=1, dtype=self.dtype,
                     name=f"up_{lvl}_upsample",
                 )(flat)
                 hx = unfold_frames(flat, bf)
-            hx = jnp.concatenate([hx, skips[lvl]], axis=-1)
+            hx = jnp.concatenate([hx, skips[lvl] * skip_scale], axis=-1)
             tc_f, ctx_f, cm_f = folded_cond(hx.shape[1])
             flat, bf = fold_frames(hx)
-            for bi in range(self.num_resnet_blocks):
-                flat = ResnetBlock(
+            for bi in range(n_blocks[lvl]):
+                flat = ResBlock(
                     dims[lvl],
-                    cond_dim=cond_dim if use_cross else None,
+                    cond_dim=cond_dim if (use_cross or use_lin_cross) else None,
                     time_cond_dim=time_cond_dim,
+                    groups=self.resnet_groups,
+                    use_global_context=self.use_global_context,
+                    linear_cross_attn=use_lin_cross,
                     dtype=self.dtype,
                     name=f"up_{lvl}_res{bi}",
                 )(
                     flat,
                     tc_f,
-                    ctx_f if use_cross else None,
-                    cm_f if use_cross else None,
+                    ctx_f if (use_cross or use_lin_cross) else None,
+                    cm_f if (use_cross or use_lin_cross) else None,
                 )
+            if layer_attns[lvl]:
+                flat = spatial_attn(
+                    flat, f"up_{lvl}_attn", attn_depths[lvl], ctx_f
+                )
+            elif linear_attns[lvl]:
+                flat = flat + LinearAttention(
+                    dtype=self.dtype, name=f"up_{lvl}_linattn"
+                )(flat)
             hx = unfold_frames(flat, bf)
+            if layer_attns[lvl] and self.ff_time_token_shift and not ignore_time:
+                hx = ShiftFeedForward(
+                    mult=self.ff_mult, dtype=self.dtype,
+                    name=f"up_{lvl}_shift_ff",
+                )(hx)
             if not ignore_time:
                 hx = TemporalConv(
                     dims[lvl], dtype=self.dtype, name=f"up_{lvl}_tconv"
                 )(hx)
-                if self.temporal_attns[lvl]:
-                    hx = TemporalAttention(
-                        n_heads=self.attn_heads,
-                        dtype=self.dtype,
-                        name=f"up_{lvl}_tattn",
-                    )(hx)
+                if temporal_attns[lvl]:
+                    hx = temporal_attn(hx, f"up_{lvl}_tattn")
 
+        if init_feats is not None:
+            hx = jnp.concatenate([hx, init_feats], axis=-1)
+        if self.final_resnet_block:
+            tc_f, _, _ = folded_cond(hx.shape[1])
+            flat, bf = fold_frames(hx)
+            flat = ResnetBlock(
+                dims[0],
+                time_cond_dim=time_cond_dim,
+                groups=self.resnet_groups,
+                dtype=self.dtype,
+                name="final_res_block",
+            )(flat, tc_f)
+            hx = unfold_frames(flat, bf)
         flat, bf = fold_frames(hx)
+        fk = self.final_conv_kernel_size
         out = nn.Conv(
-            self.channels, (3, 3), padding=1, dtype=jnp.float32, name="final_conv"
+            self.channels_out or self.channels,
+            (fk, fk),
+            padding=fk // 2,
+            dtype=jnp.float32,
+            name="final_conv",
         )(flat.astype(jnp.float32))
         return unfold_frames(out, bf).astype(in_dtype)
 
 
+# Reference Unet3D.__init__ kwarg -> ImagenUNet3D field
+# (imagen_video.py:1222-1330). Names identical to the 2-D map where shared;
+# `num_image_tokens` and `dropout` are dead in the reference video net too.
+_REF_3D_KNOB_MAP = {
+    "learned_sinu_pos_emb_dim": "learned_sinu_dim",
+    "out_dim": "channels_out",
+    "use_global_context_attn": "use_global_context",
+    "num_image_tokens": None,
+    "dropout": None,
+    # knobs whose video-net realization differs structurally here and is
+    # intentionally not exposed (documented divergence): cross-embed stems
+    # and pixel-shuffle spatial upsampling use the plain conv stems
+    "init_cross_embed": None,
+    "init_cross_embed_kernel_sizes": None,
+    "cross_embed_downsample": None,
+    "cross_embed_downsample_kernel_sizes": None,
+    "attn_pool_text": None,
+    "attn_pool_num_latents": None,
+    "combine_upsample_fmaps": None,
+    "pixel_shuffle_upsample": None,
+}
+
+
+def unet3d_from_ref_config(knobs: dict, **overrides) -> ImagenUNet3D:
+    """Build an :class:`ImagenUNet3D` from reference-named kwargs
+    (imagen_video.py:1222-1330); ``overrides`` win over ``knobs``."""
+    field_names = set(ImagenUNet3D.__dataclass_fields__)
+    kw: dict = {}
+    for key, val in knobs.items():
+        target = _REF_3D_KNOB_MAP.get(
+            key, key if key in field_names else False
+        )
+        if target is False:
+            raise TypeError(f"unknown Unet3D knob {key!r}")
+        if target is not None:
+            kw[target] = tuple(val) if isinstance(val, list) else val
+    kw.update(overrides)
+    return ImagenUNet3D(**kw)
+
+
 __all__ = [
     "ImagenUNet3D",
+    "unet3d_from_ref_config",
     "TemporalConv",
     "TemporalAttention",
     "TemporalDownsample",

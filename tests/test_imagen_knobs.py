@@ -342,3 +342,94 @@ class TestCascadeKnobs:
             x = jax.random.uniform(jax.random.key(0), (1, 8, 8, 3))
             resized = cascade._resize(x, 16)
             assert resized.shape == (1, 16, 16, 3)
+
+
+class TestUnet3DKnobs:
+    def test_ref_config_factory_full_surface(self):
+        from diffusionmodelscustom_tpu.models.imagen.unet3d import (
+            unet3d_from_ref_config,
+        )
+
+        knobs = dict(
+            dim=8, text_embed_dim=16, num_resnet_blocks=1, cond_dim=8,
+            num_image_tokens=4, num_time_tokens=3,
+            learned_sinu_pos_emb_dim=8, out_dim=3, dim_mults=[1, 2],
+            temporal_strides=[1, 2], cond_images_channels=0, channels=3,
+            attn_dim_head=8, attn_heads=2, ff_mult=2,
+            ff_time_token_shift=True, lowres_cond=False,
+            layer_attns=[False, True], layer_attns_depth=2,
+            layer_attns_add_text_cond=True, attend_at_middle=True,
+            time_rel_pos_bias_depth=1, time_causal_attn=True,
+            layer_cross_attns=[False, True], use_linear_attn=False,
+            use_linear_cross_attn=False, cond_on_text=True, max_text_len=8,
+            init_dim=12, resnet_groups=4, init_conv_kernel_size=3,
+            dropout=0.0, memory_efficient=False,
+            init_conv_to_final_conv_residual=True,
+            use_global_context_attn=False, scale_skip_connection=True,
+            final_resnet_block=True, final_conv_kernel_size=1,
+            self_cond=False, resize_mode="nearest",
+        )
+        net = unet3d_from_ref_config(knobs)
+        assert net.channels_out == 3 and net.num_time_tokens == 3
+        assert net.time_causal_attn is True
+        x = jnp.zeros((1, 4, 8, 8, 3))
+        nc = jnp.zeros((1,))
+        te = jnp.zeros((1, 4, 16))
+        tm = jnp.ones((1, 4), bool)
+        v = net.init(jax.random.key(0), x, nc, text_embeds=te, text_mask=tm)
+        out = net.apply(v, x, nc, text_embeds=te, text_mask=tm)
+        assert out.shape == (1, 4, 8, 8, 3)
+        assert np.isfinite(np.asarray(out)).all()
+        assert "mid_attn" in v["params"]
+        assert "final_res_block" in v["params"]
+
+    def test_unknown_3d_knob_rejected(self):
+        from diffusionmodelscustom_tpu.models.imagen.unet3d import (
+            unet3d_from_ref_config,
+        )
+
+        with pytest.raises(TypeError, match="unknown Unet3D knob"):
+            unet3d_from_ref_config({"dim": 8, "bogus": 1})
+
+    def test_causal_temporal_attention_is_causal(self):
+        """With causal masking, earlier frames must not see later ones:
+        perturbing frame 3 cannot change attention output at frames 0-2."""
+        from diffusionmodelscustom_tpu.models.imagen.unet3d import (
+            TemporalAttention,
+        )
+
+        mod = TemporalAttention(n_heads=2, causal=True, rel_pos_bias=False)
+        x = jax.random.normal(jax.random.key(0), (1, 4, 2, 2, 8))
+        v = mod.init(jax.random.key(1), x)
+        a = mod.apply(v, x)
+        x2 = x.at[:, 3].set(jax.random.normal(jax.random.key(5), (1, 2, 2, 8)))
+        b = mod.apply(v, x2)
+        np.testing.assert_allclose(
+            np.asarray(a[:, :3]), np.asarray(b[:, :3]), atol=1e-5
+        )
+
+    def test_cli_video_mode_builds_unet3d(self):
+        from diffusionmodelscustom_tpu.cli.imagen_cli import (
+            RootConfig,
+            _build_cascade,
+        )
+        from diffusionmodelscustom_tpu.models.imagen import ImagenUNet3D
+
+        cfg = RootConfig(
+            **{
+                "imagen": {
+                    "video": True,
+                    "video_frames": 4,
+                    "image_sizes": [8],
+                    "timesteps": 4,
+                    "unets": [
+                        {"dim": 8, "dim_mults": [1, 2], "num_resnet_blocks": 1,
+                         "layer_attns": False, "layer_cross_attns": False,
+                         "attn_heads": 2}
+                    ],
+                }
+            }
+        )
+        cascade, _ = _build_cascade(cfg)
+        assert isinstance(cascade.unets[0], ImagenUNet3D)
+        assert cascade.video is True
