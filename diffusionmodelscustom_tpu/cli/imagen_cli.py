@@ -40,6 +40,9 @@ class UnetConfig(BaseModel):
 
     model_config = ConfigDict(extra="allow")
 
+    # NullUnet placeholder stage (configs.py:38-41 NullUnetConfig): skips
+    # an already-trained cascade slot
+    is_null: bool = False
     dim: int = 128
     dim_mults: List[int] = [1, 2, 4]
     channels: int = 3
@@ -88,6 +91,19 @@ class ImagenConfigSchema(BaseModel):
     only_train_unet_number: Optional[int] = None
     temporal_downsample_factor: Union[int, List[int]] = 1
     resize_cond_video_frames: bool = True
+    # elucidated (EDM) per-unet hyperparameters
+    # (configs.py:108-128 ElucidatedImagenConfig surface)
+    num_sample_steps: Union[int, List[int]] = 32
+    sigma_min: Union[float, List[float]] = 0.002
+    sigma_max: Union[float, List[float]] = 80.0
+    sigma_data: Union[float, List[float]] = 0.5
+    rho: Union[float, List[float]] = 7.0
+    P_mean: Union[float, List[float]] = -1.2
+    P_std: Union[float, List[float]] = 1.2
+    S_churn: Union[float, List[float]] = 80.0
+    S_tmin: Union[float, List[float]] = 0.05
+    S_tmax: Union[float, List[float]] = 50.0
+    S_noise: Union[float, List[float]] = 1.003
     # default: a base-64 + SR-256 two-stage cascade (the reference default
     # is a 3-stage 64->256->1024, default_config.json:5-44)
     unets: List[UnetConfig] = [
@@ -106,10 +122,22 @@ class ImagenConfigSchema(BaseModel):
 
 
 class TrainerConfigSchema(BaseModel):
+    """ImagenTrainerConfig surface (configs.py:158-170)."""
+
     lr: float = 1e-4
+    eps: float = 1e-8
+    beta1: float = 0.9
+    beta2: float = 0.99
     use_ema: bool = True
     max_grad_norm: Optional[float] = None
     warmup_steps: Optional[int] = None
+    cosine_decay_max_steps: Optional[int] = None
+    # accepted for config compatibility; our AdamW path applies no weight
+    # decay so there is nothing to group (configs.py:168 group_wd_params)
+    group_wd_params: bool = True
+    checkpoint_every: Optional[int] = None
+    max_checkpoints_keep: int = 3
+    only_train_unet: Optional[int] = None
 
 
 class RootConfig(BaseModel):
@@ -130,33 +158,62 @@ def _build_cascade(cfg: RootConfig):
 
     text_dim = get_encoded_dim(cfg.imagen.text_encoder_name)
 
-    if cfg.imagen.video:
-        # video cascade dispatches Unet3D stages (configs.py video flag;
-        # imagen_video.py Unet3D). Only explicitly-set unet keys are
-        # forwarded so 2-D-only schema defaults don't leak into the 3-D net.
-        from ..models.imagen.unet3d import unet3d_from_ref_config
+    def build_unet(i, u):
+        if u.is_null:
+            # placeholder for an already-trained stage (NullUnetConfig,
+            # configs.py:38-41; imagen_pytorch.py:3193 NullUnet)
+            from ..models.imagen import NullUnet
 
-        unets = [
-            unet3d_from_ref_config(
-                u.model_dump(exclude_unset=True),
-                text_embed_dim=text_dim,
-                lowres_cond=i > 0,
+            return NullUnet()
+        knobs = u.model_dump()
+        knobs.pop("is_null", None)
+        if cfg.imagen.video:
+            # video cascade dispatches Unet3D stages (configs.py video
+            # flag; imagen_video.py Unet3D). Only explicitly-set unet keys
+            # are forwarded so 2-D-only schema defaults don't leak in.
+            from ..models.imagen.unet3d import unet3d_from_ref_config
+
+            knobs = u.model_dump(exclude_unset=True)
+            knobs.pop("is_null", None)
+            return unet3d_from_ref_config(
+                knobs, text_embed_dim=text_dim, lowres_cond=i > 0
             )
-            for i, u in enumerate(cfg.imagen.unets)
-        ]
-    else:
-        unets = [
-            imagen_unet_from_ref_config(
-                u.model_dump(),
-                text_embed_dim=text_dim,
-                lowres_cond=i > 0,
-            )
-            for i, u in enumerate(cfg.imagen.unets)
-        ]
-    cls = ElucidatedImagen if (cfg.type == "elucidated" or cfg.imagen.elucidated) else Imagen
+        return imagen_unet_from_ref_config(
+            knobs, text_embed_dim=text_dim, lowres_cond=i > 0
+        )
+
+    unets = [build_unet(i, u) for i, u in enumerate(cfg.imagen.unets)]
+    elucidated = cfg.type == "elucidated" or cfg.imagen.elucidated
+    cls = ElucidatedImagen if elucidated else Imagen
     im = cfg.imagen
+    extra = {}
+    if elucidated:
+        from ..core import EDMConfig
+
+        n = len(im.unets)
+
+        def per(v, i):
+            return v[i] if isinstance(v, list) else v
+
+        extra["edm"] = [
+            EDMConfig(
+                num_sample_steps=per(im.num_sample_steps, i),
+                sigma_min=per(im.sigma_min, i),
+                sigma_max=per(im.sigma_max, i),
+                sigma_data=per(im.sigma_data, i),
+                rho=per(im.rho, i),
+                P_mean=per(im.P_mean, i),
+                P_std=per(im.P_std, i),
+                S_churn=per(im.S_churn, i),
+                S_tmin=per(im.S_tmin, i),
+                S_tmax=per(im.S_tmax, i),
+                S_noise=per(im.S_noise, i),
+            )
+            for i in range(n)
+        ]
     return cls(
         unets=unets,
+        **extra,
         image_sizes=tuple(im.image_sizes),
         channels=im.unets[0].channels,
         video=im.video,
@@ -185,6 +242,25 @@ def _build_cascade(cfg: RootConfig):
     ), text_dim
 
 
+def _apply_platform(platform, n_virtual_devices=0):
+    """Pin a JAX platform before the first operation (mirrors
+    cli/train.py:apply_platform). The environment may register a remote
+    TPU plugin in every process; ``--platform cpu`` keeps smoke runs off
+    the (single, shared) chip."""
+    if platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        if n_virtual_devices:
+            jax.config.update("jax_num_cpu_devices", n_virtual_devices)
+
+
+_platform_option = click.option(
+    "--platform", default=None, type=click.Choice(["cpu", "tpu"]),
+    help="force a JAX platform (cpu useful for smoke runs)",
+)
+
+
 @click.group()
 def imagen():
     """TPU-native Imagen cascade."""
@@ -203,7 +279,9 @@ def config(path):
 @click.option("--steps", default=100, type=int)
 @click.option("--synthetic", is_flag=True, help="use synthetic image data")
 @click.option("--data_dir", default=None, help="directory of training .npy images")
-def train(config_path, unet_number, steps, synthetic, data_dir):
+@_platform_option
+def train(config_path, unet_number, steps, synthetic, data_dir, platform):
+    _apply_platform(platform)
     import jax
 
     from ..models.imagen.t5 import t5_encode_text
@@ -216,9 +294,16 @@ def train(config_path, unet_number, steps, synthetic, data_dir):
         cascade,
         ImagenTrainerConfig(
             learning_rate=cfg.trainer.lr,
+            eps=cfg.trainer.eps,
+            beta1=cfg.trainer.beta1,
+            beta2=cfg.trainer.beta2,
             use_ema=cfg.trainer.use_ema,
             max_grad_norm=cfg.trainer.max_grad_norm,
             warmup_steps=cfg.trainer.warmup_steps,
+            cosine_decay_max_steps=cfg.trainer.cosine_decay_max_steps,
+            checkpoint_every=cfg.trainer.checkpoint_every,
+            max_checkpoints_keep=cfg.trainer.max_checkpoints_keep,
+            only_train_unet=cfg.trainer.only_train_unet,
         ),
         text_embed_dim=text_dim,
     )
@@ -265,8 +350,10 @@ def train(config_path, unet_number, steps, synthetic, data_dir):
 @click.option("--output", default="./imagen_sample.npz")
 @click.option("--batch_size", default=1, type=int)
 @click.option("--cond_scale", default=5.0, type=float)
+@_platform_option
 @click.argument("text")
-def sample(config_path, output, batch_size, cond_scale, text):
+def sample(config_path, output, batch_size, cond_scale, text, platform):
+    _apply_platform(platform)
     import jax
     import jax.numpy as jnp
 

@@ -43,7 +43,8 @@ VARIANTS = [
 ]
 VARIANT = VARIANTS[0]
 N_TIMESTEPS = 800  # the reference's T (ddpm_DANRA_conditional_wValid.py:198)
-TRAIN_STEPS = 6000
+TRAIN_STEPS = 12000  # round 3: 6000 -> 12000 closed the uniform variant's
+# out-of-range and Moran's-I gaps (same matched protocol otherwise)
 BATCH = 20
 DATA_MIN, DATA_MAX = -15.0, 30.0  # Celsius scale range for [-1, 1]
 

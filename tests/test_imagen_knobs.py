@@ -433,3 +433,74 @@ class TestUnet3DKnobs:
         cascade, _ = _build_cascade(cfg)
         assert isinstance(cascade.unets[0], ImagenUNet3D)
         assert cascade.video is True
+
+
+class TestElucidatedCLIKnobs:
+    def test_edm_knobs_flow_to_cascade(self):
+        from diffusionmodelscustom_tpu.cli.imagen_cli import (
+            RootConfig,
+            _build_cascade,
+        )
+
+        cfg = RootConfig(
+            **{
+                "type": "elucidated",
+                "imagen": {
+                    "image_sizes": [8, 16],
+                    "num_sample_steps": [8, 16],
+                    "sigma_min": 0.004,
+                    "S_churn": [40.0, 60.0],
+                    "unets": [
+                        {"dim": 8, "dim_mults": [1, 2], "num_resnet_blocks": 1,
+                         "layer_attns": False, "layer_cross_attns": False,
+                         "attn_heads": 2},
+                        {"dim": 8, "dim_mults": [1, 2], "num_resnet_blocks": 1,
+                         "layer_attns": False, "layer_cross_attns": False,
+                         "attn_heads": 2},
+                    ],
+                },
+            }
+        )
+        cascade, _ = _build_cascade(cfg)
+        assert cascade.edm_configs[0].num_sample_steps == 8
+        assert cascade.edm_configs[1].num_sample_steps == 16
+        assert cascade.edm_configs[0].sigma_min == 0.004
+        assert cascade.edm_configs[0].S_churn == 40.0
+        assert cascade.edm_configs[1].S_churn == 60.0
+
+    def test_null_unet_stage(self):
+        from diffusionmodelscustom_tpu.cli.imagen_cli import (
+            RootConfig,
+            _build_cascade,
+        )
+        from diffusionmodelscustom_tpu.models.imagen import NullUnet
+
+        cfg = RootConfig(
+            **{
+                "imagen": {
+                    "image_sizes": [8, 16],
+                    "timesteps": 4,
+                    "unets": [
+                        {"is_null": True},
+                        {"dim": 8, "dim_mults": [1, 2], "num_resnet_blocks": 1,
+                         "layer_attns": False, "layer_cross_attns": False,
+                         "attn_heads": 2},
+                    ],
+                }
+            }
+        )
+        cascade, _ = _build_cascade(cfg)
+        assert isinstance(cascade.unets[0], NullUnet)
+        # null stage passes a start image through; SR stage refines it
+        import jax
+
+        params = [
+            cascade.unets[0].init(jax.random.key(0)),
+            cascade.init_unet_params(1, jax.random.key(1)),
+        ]
+        out = cascade.sample(
+            params, jax.random.key(2), batch_size=1,
+            start_image_or_video=jnp.zeros((1, 8, 8, 3)),
+            start_at_unet_number=2,
+        )
+        assert out.shape == (1, 16, 16, 3)
