@@ -27,10 +27,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Block sizes aligned to the 8x128 f32 / 16x128 bf16 VMEM tiles.
-# Swept on v5e at (B32, S4096, D128): 512/1024 gives 75 TF/s fwd and
-# 88 TF/s fwd+bwd vs 49/58 at 256/512 (fewer grid iterations amortize the
-# per-block softmax state handling).
-DEFAULT_BLOCK_Q = 512
+# Swept on v5e (scripts/sweep_attn_r3.py, rounds 2-3): (1024, 1024) wins
+# or ties at every flagship shape — S4096 D128 fwd 3.50 ms vs 3.68 at
+# 512/1024, S1024 D128 fwd 1.75 ms vs 2.78 (fewer grid cells amortize the
+# per-block softmax state handling; one K block at S<=1024 removes the
+# online-softmax carry entirely). bq/bk=2048 combos VMEM-OOM in the
+# backward (18.7 MB scoped > 16 MB); 1024 is the usable maximum.
+DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 # softmax in base 2: the VPU evaluates exp2 cheaper than exp, and at
