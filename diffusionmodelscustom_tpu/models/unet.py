@@ -54,22 +54,28 @@ class DoubleConv(nn.Module):
             num_groups=min(self.num_groups, channels), dtype=self.dtype, name=name
         )
 
+    def _conv(self, features: int, name: str):
+        # Measured (v5e, round 3): swapping the narrow-channel convs for
+        # the width-pair packed formulation (ops/packed_conv.py) wins 1.6x
+        # in ISOLATION (1.20 -> 0.76 ms at 32x128x128x64) but REGRESSED
+        # the full model (fwd 20.0 -> 27.3 ms, train step 67.8 -> 79.1) —
+        # in context, XLA's layout assignment turns the pack/unpack
+        # reshapes into relayout copies around every conv. Same lesson as
+        # the fused GroupNorm kernel (see _norm): keep nn.Conv here; the
+        # packed op stays in the library for standalone narrow-channel
+        # workloads.
+        return nn.Conv(
+            features, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            name=name,
+        )
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mid = self.mid_channels or self.out_channels
-        h = nn.Conv(
-            mid, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv1"
-        )(x)
+        h = self._conv(mid, "conv1")(x)
         h = self._norm(mid, "gn1")(h)
         h = nn.gelu(h)
-        h = nn.Conv(
-            self.out_channels,
-            (3, 3),
-            padding=1,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv2",
-        )(h)
+        h = self._conv(self.out_channels, "conv2")(h)
         h = self._norm(self.out_channels, "gn2")(h)
         if self.residual:
             return nn.gelu(x + h)

@@ -7,6 +7,7 @@ from .embeddings import (
     sinusoidal_embedding,
 )
 from .norms import GroupNormSiLU, instance_norm
+from .packed_conv import PackedConv3x3, pack_conv_weights, packed_pair_conv3x3
 from .resize import pixel_shuffle, resize_image, upsample_2x
 
 __all__ = [
@@ -14,6 +15,9 @@ __all__ = [
     "MultiHeadSelfAttention",
     "attention_core",
     "GroupNormSiLU",
+    "PackedConv3x3",
+    "pack_conv_weights",
+    "packed_pair_conv3x3",
     "instance_norm",
     "learned_sinusoidal_embedding",
     "pixel_shuffle",

@@ -1,0 +1,235 @@
+"""Packed-pair conv experiment: can a lane-packing reformulation beat XLA's
+33 TF/s on 64-channel 3x3 convs?
+
+A 64-out-channel conv fills only half the MXU's 128 output lanes. Packing
+two adjacent W-pixels' channels into one 128-lane row turns the 3x3
+C64->C64 conv into dense (M,128)x(128,128) / (M,256)x(256,128) matmuls
+(1.33x FLOP overhead, full lane utilization): for packed column w2 holding
+pixels (2*w2, 2*w2+1),
+
+    out[w2] = sum_kh  y_kh[w2] @ B[kh] + d_kh[w2] @ D[kh]
+
+with y = H-shifted packed input, d = [odd lanes of w2-1 | even lanes of
+w2+1], and B/D assembled from the conv weights (see make_mats below).
+
+Variants measured (all numerically checked against lax conv):
+    v6: six (M,128)x(128,128) matmuls
+    v3: three (M,256)x(256,128) matmuls (B,D concatenated per kh)
+    v1: one (M,768)x(768,128) matmul (everything concatenated)
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+R = 8
+
+
+def timeit(name, make_fn, x0, flops_per_op=None, n=10):
+    def chained(x):
+        for _ in range(R):
+            x = x0 + 1e-6 * make_fn(x).astype(x0.dtype)
+        return x
+
+    fn = jax.jit(chained)
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(fn(x0).ravel()[:8]))
+    compile_s = time.perf_counter() - t0
+    x = x0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = fn(x)
+    np.asarray(jax.device_get(x.ravel()[:8]))
+    per_op = (time.perf_counter() - t0) / n / R
+    tf = f" {flops_per_op / per_op / 1e12:7.2f} TF/s" if flops_per_op else ""
+    print(f"{name:40s} {per_op * 1e3:8.3f} ms/op{tf}  (compile {compile_s:.1f}s)",
+          flush=True)
+    return per_op
+
+
+def make_mats(w):
+    """(3,3,64,64) HWIO conv weights -> B[3] (128,128), D[3] (128,128)."""
+    B = jnp.zeros((3, 128, 128), w.dtype)
+    D = jnp.zeros((3, 128, 128), w.dtype)
+    for kh in range(3):
+        B = B.at[kh, 0:64, 0:64].set(w[kh, 1])
+        B = B.at[kh, 64:128, 0:64].set(w[kh, 2])
+        B = B.at[kh, 0:64, 64:128].set(w[kh, 0])
+        B = B.at[kh, 64:128, 64:128].set(w[kh, 1])
+        D = D.at[kh, 0:64, 0:64].set(w[kh, 0])
+        D = D.at[kh, 64:128, 64:128].set(w[kh, 2])
+    return B, D
+
+
+def shift_h(x, dh):
+    """Shift along H by dh in {-1, 0, +1} with zero pad."""
+    if dh == 0:
+        return x
+    if dh == -1:
+        return jnp.pad(x[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    return jnp.pad(x[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+
+
+def packed_inputs(xp):
+    """xp: (B,H,W2,128) -> d: (B,H,W2,128) neighbor-lane-swap vector."""
+    prev_odd = jnp.pad(xp[:, :, :-1, 64:], ((0, 0), (0, 0), (1, 0), (0, 0)))
+    next_even = jnp.pad(xp[:, :, 1:, :64], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    return jnp.concatenate([prev_odd, next_even], axis=-1)
+
+
+def conv_packed_v6(xp, Bm, Dm):
+    d = packed_inputs(xp)
+    out = jnp.zeros(xp.shape[:3] + (128,), jnp.float32)
+    for kh in range(3):
+        # out row h consumes input row h + kh - 1  ->  shift by 1 - kh
+        y = shift_h(xp, 1 - kh)
+        dk = shift_h(d, 1 - kh)
+        out = out + jnp.einsum("bhwc,cd->bhwd", y, Bm[kh],
+                               preferred_element_type=jnp.float32)
+        out = out + jnp.einsum("bhwc,cd->bhwd", dk, Dm[kh],
+                               preferred_element_type=jnp.float32)
+    return out.astype(xp.dtype)
+
+
+def conv_packed_v3(xp, Bm, Dm):
+    d = packed_inputs(xp)
+    BD = jnp.concatenate([Bm, Dm], axis=1)  # (3, 256, 128)
+    out = jnp.zeros(xp.shape[:3] + (128,), jnp.float32)
+    for kh in range(3):
+        yd = jnp.concatenate([shift_h(xp, 1 - kh), shift_h(d, 1 - kh)], -1)
+        out = out + jnp.einsum("bhwc,cd->bhwd", yd, BD[kh],
+                               preferred_element_type=jnp.float32)
+    return out.astype(xp.dtype)
+
+
+def conv_packed_v1(xp, Bm, Dm):
+    d = packed_inputs(xp)
+    big = jnp.concatenate(
+        [jnp.concatenate([shift_h(xp, 1 - kh), shift_h(d, 1 - kh)], -1)
+         for kh in range(3)], -1)  # (B,H,W2,768)
+    W = jnp.concatenate(
+        [jnp.concatenate([Bm[kh], Dm[kh]], 0) for kh in range(3)], 0)
+    out = jnp.einsum("bhwc,cd->bhwd", big, W,
+                     preferred_element_type=jnp.float32)
+    return out.astype(xp.dtype)
+
+
+def pack_conv_weights(w):
+    """(3,3,Cin,Cout) HWIO -> (3,3,2Cin,2Cout) operating on W-pair-packed
+    NHWC tensors (lane index = pi*C + ci for pixel parity pi).
+
+    W2[kh, j, pi*Cin+ci, po*Cout+co] = W[kh, kw, ci, co] with
+    kw = 2j + pi - po + 1 when 0 <= kw <= 2 (else zero): exactly half the
+    blocks are populated, so the packed conv does 2x the dense FLOPs of
+    the ideal 3x3 — but with full 128-lane utilization when C < 128.
+    """
+    kh_, kw_, cin, cout = w.shape
+    w2 = jnp.zeros((3, 3, 2 * cin, 2 * cout), w.dtype)
+    for j in (-1, 0, 1):
+        for pi in (0, 1):
+            for po in (0, 1):
+                kw = 2 * j + pi - po + 1
+                if 0 <= kw <= 2:
+                    w2 = w2.at[
+                        :, j + 1,
+                        pi * cin:(pi + 1) * cin,
+                        po * cout:(po + 1) * cout,
+                    ].set(w[:, kw])
+    return w2
+
+
+def conv_packed_lax(xp, w2):
+    """Packed-pair conv via XLA's own conv op on the W-halved tensor."""
+    return jax.lax.conv_general_dilated(
+        xp, w2, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(xp.dtype)
+
+
+def main():
+    rng = jax.random.key(0)
+    b, h, w, c = 32, 128, 128, 64
+    x = jax.random.normal(rng, (b, h, w, c), jnp.bfloat16)
+    conv = nn.Conv(c, (3, 3), padding=1, use_bias=False, dtype=jnp.bfloat16)
+    cp = conv.init(rng, x)
+    wgt = cp["params"]["kernel"]  # (3,3,64,64) HWIO
+    Bm, Dm = make_mats(wgt.astype(jnp.bfloat16))
+    flops = 2 * b * h * w * 9 * c * c
+
+    # correctness first
+    want = np.asarray(jax.device_get(conv.apply(cp, x)), np.float32)
+    xp = x.reshape(b, h, w // 2, 128)
+    for name, fn in [("v6", conv_packed_v6), ("v3", conv_packed_v3),
+                     ("v1", conv_packed_v1)]:
+        got = np.asarray(
+            jax.device_get(fn(xp, Bm, Dm)), np.float32
+        ).reshape(b, h, w, c)
+        err = np.abs(got - want).max()
+        print(f"{name}: max err vs lax conv = {err:.5f}", flush=True)
+        assert err < 0.15, err
+
+    w2 = pack_conv_weights(wgt.astype(jnp.bfloat16))
+    got = np.asarray(
+        jax.device_get(conv_packed_lax(xp, w2)), np.float32
+    ).reshape(b, h, w, c)
+    errl = np.abs(got - want).max()
+    print(f"lax-packed: max err vs lax conv = {errl:.5f}", flush=True)
+    assert errl < 0.15, errl
+
+    gn = nn.GroupNorm(num_groups=1, dtype=jnp.bfloat16)
+    gp = gn.init(rng, x)
+
+    import os
+    if os.environ.get("ONLY_128TO64"):
+        _skip = lambda *a, **k: None
+    else:
+        _skip = timeit
+    _skip("xla conv3x3 64ch @128^2 (baseline)",
+           lambda y: conv.apply(cp, y), x, flops_per_op=flops)
+    _skip("packed-lax conv (2Cx2C half-W)",
+           lambda y: conv_packed_lax(y, w2), xp, flops_per_op=flops)
+    _skip("packed-lax conv + GN + GELU (unpack between)",
+           lambda y: nn.gelu(gn.apply(
+               gp, conv_packed_lax(y, w2).reshape(b, h, w, c)
+           )).reshape(b, h, w // 2, 128), xp, flops_per_op=flops)
+
+    # the other flagship N=64 site: 128 -> 64 at 128^2
+    x128 = jax.random.normal(rng, (b, h, w, 128), jnp.bfloat16)
+    conv_b = nn.Conv(64, (3, 3), padding=1, use_bias=False, dtype=jnp.bfloat16)
+    cpb = conv_b.init(rng, x128)
+    w2b = pack_conv_weights(cpb["params"]["kernel"].astype(jnp.bfloat16))
+    flops_b = 2 * b * h * w * 9 * 128 * 64
+    want_b = np.asarray(jax.device_get(conv_b.apply(cpb, x128)), np.float32)
+    got_b = np.asarray(
+        jax.device_get(conv_packed_lax(x128.reshape(b, h, w // 2, 256), w2b)),
+        np.float32,
+    ).reshape(b, h, w, 64)
+    errb = np.abs(got_b - want_b).max()
+    print(f"lax-packed 128->64: max err = {errb:.5f}", flush=True)
+    assert errb < 0.3, errb
+    # output shape differs from input: couple the chain through a scalar
+    timeit("xla conv3x3 128->64 @128^2 (baseline)",
+           lambda y: y * (1 + 1e-8 * jnp.mean(
+               conv_b.apply(cpb, y).astype(jnp.float32))),
+           x128, flops_per_op=flops_b)
+    xp256 = x128.reshape(b, h, w // 2, 256)
+    timeit("packed-lax 128->64 (256->128 half-W)",
+           lambda y: y * (1 + 1e-8 * jnp.mean(
+               conv_packed_lax(y, w2b).astype(jnp.float32))),
+           xp256, flops_per_op=flops_b)
+
+
+if __name__ == "__main__":
+    print(f"backend={jax.default_backend()}", flush=True)
+    main()
