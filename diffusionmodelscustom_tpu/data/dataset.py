@@ -21,12 +21,11 @@ data_DANRA_conditional.py:195-1236). Semantics preserved:
 
 TPU-first changes: channel-last (H, W, 1) numpy arrays; a plain in-process
 LRU-ish cache replaces the unsynchronized ``multiprocessing.Manager``
-dict (SURVEY.md section 5.2); SDFs for cutout windows are cropped from one
-precomputed full-domain EDT instead of re-running EDT per sample — exact
-for interior windows where the nearest land pixel lies inside the window,
-and the 10*mask-minus-distance formula is applied before the per-window
-min-max normalization so values match the reference's
-generate_sdf-then-normalize pipeline (data_DANRA_conditional.py:82-102).
+dict (SURVEY.md section 5.2); SDFs for cutout windows run the EDT on the
+CROPPED mask exactly as the reference does (generate_sdf(lsm_use),
+data_DANRA_conditional.py:834-836) — through the native C++ EDT when
+built — with the 10*mask-minus-distance formula applied before the
+per-window min-max normalization (data_DANRA_conditional.py:82-102).
 """
 
 from __future__ import annotations
@@ -146,11 +145,18 @@ class DanraDataset:
             if topo_full_domain is not None
             else None
         )
-        # Precompute the full-domain sea EDT once (hot-loop #5 fix);
-        # generate_sdf routes through the native C++ EDT when built.
+        # SDFs are computed PER CUTOUT WINDOW on the cropped mask — the
+        # reference's exact semantics (generate_sdf(lsm_use),
+        # data_DANRA_conditional.py:834-836): distances are to land INSIDE
+        # the window only. (Earlier rounds cropped one precomputed
+        # full-domain EDT — cheaper but it disagrees wherever the nearest
+        # land lies outside the crop.) The per-window EDT routes through
+        # the native C++ kernel when built; a 128x128 window costs ~us.
+        # sdf_full remains for the non-cutout whole-domain path.
         self.sdf_full = None
         if config.sdf_weighted_loss and self.lsm_full is not None:
-            self.sdf_full = generate_sdf(self.lsm_full)
+            if not config.cutouts:
+                self.sdf_full = generate_sdf(self.lsm_full)
 
         self.scaler = (
             Scale(config.in_low, config.in_high, config.data_min_in, config.data_max_in)
@@ -173,6 +179,15 @@ class DanraDataset:
         self._lock = threading.Lock()
 
     # -- helpers -----------------------------------------------------------
+
+
+    def _want_sdf(self) -> bool:
+        return self.cfg.sdf_weighted_loss and self.lsm_full is not None
+
+    def _window_sdf(self, x1: int, x2: int, y1: int, y2: int) -> np.ndarray:
+        """Reference-parity per-cutout SDF: EDT of the cropped mask
+        (generate_sdf(lsm_use), data_DANRA_conditional.py:834-836)."""
+        return generate_sdf(self.lsm_full[x1:x2, y1:y2])
 
     def __len__(self) -> int:
         return len(self.files)
@@ -271,8 +286,8 @@ class DanraDataset:
                 sample["lsm"] = self._transform_mask(self.lsm_full[x1:x2, y1:y2])
             if self.topo_full is not None:
                 sample["topo"] = self._transform_mask(self.topo_full[x1:x2, y1:y2])
-            if self.sdf_full is not None:
-                sdf = normalize_sdf(self.sdf_full[x1:x2, y1:y2])
+            if self._want_sdf():
+                sdf = normalize_sdf(self._window_sdf(x1, x2, y1, y2))
                 sample["sdf"] = self._transform_mask(sdf)
             sample["points"] = np.asarray(point, np.int32)
 
@@ -393,11 +408,11 @@ class DanraDataset:
             if self.topo_full is not None:
                 wins = [clamp(p, self.topo_full) for p in points]
                 batch["topo"] = batched([self.topo_full] * n, wins, False)
-            if self.sdf_full is not None:
+            if self._want_sdf():
                 # per-window min-max normalize before resize (exact match
                 # of the per-sample path)
                 crops = [
-                    normalize_sdf(self.sdf_full[x1:x2, y1:y2])
+                    normalize_sdf(self._window_sdf(x1, x2, y1, y2))
                     for (x1, x2, y1, y2) in points
                 ]
                 full = [(0, c.shape[0], 0, c.shape[1]) for c in crops]

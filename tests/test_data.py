@@ -318,3 +318,35 @@ def test_precipitation_variable_round_trip(tmp_path):
     # batched path agrees with per-sample
     b = ds.load_batch([0, 1])
     np.testing.assert_allclose(b["img"][0], ds[0]["img"], rtol=1e-4, atol=1e-4)
+
+
+class TestPerCutoutSDF:
+    def test_window_sdf_matches_reference_per_crop_edt(self, tmp_path):
+        """The SDF for a cutout must be the EDT of the CROPPED mask —
+        the reference's semantics (generate_sdf(lsm_use),
+        data_DANRA_conditional.py:834-836) — NOT a crop of the
+        full-domain EDT. Construct a domain where all land lies outside
+        the window so the two disagree maximally."""
+        lsm = np.zeros((64, 64), np.float32)
+        lsm[:, 28:32] = 1.0  # land strip just LEFT of the window edge
+        lsm[50:54, 50:54] = 1.0  # island deep inside the window region
+        make_synthetic_store(
+            tmp_path / "hr", n_days=2, shape=(64, 64), lsm=lsm, seed=3
+        )
+        cfg = DanraDatasetConfig(
+            data_size=(32, 32),
+            cutouts=True,
+            cutout_domains=[32, 64, 32, 64],
+            cutout_size=32,
+            sdf_weighted_loss=True,
+            n_samples=2,
+        )
+        ds = DanraDataset(tmp_path / "hr", cfg, lsm_full_domain=lsm)
+        s = ds[0]
+        x1, x2, y1, y2 = s["points"]
+        want = normalize_sdf(generate_sdf(lsm[x1:x2, y1:y2]))
+        np.testing.assert_allclose(s["sdf"][..., 0], want, atol=1e-6)
+        # and it must NOT equal the cropped full-domain EDT (land to the
+        # left of the window changes those distances)
+        full_crop = normalize_sdf(generate_sdf(lsm)[x1:x2, y1:y2])
+        assert np.abs(want - full_crop).max() > 1e-3
