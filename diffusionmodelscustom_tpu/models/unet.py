@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from ..ops.attention import ImageSelfAttention
 from ..ops.embeddings import pos_encoding_block
+from ..ops.quantized_conv import DynamicInt8Conv3x3
 from ..ops.resize import resize_image, upsample_2x
 
 
@@ -42,6 +43,10 @@ class DoubleConv(nn.Module):
     residual: bool = False
     num_groups: int = 1  # reference uses GroupNorm(1, ...) == LayerNorm-ish
     dtype: jnp.dtype = jnp.float32
+    # serving-only dynamic int8 convs (ops/quantized_conv.py) for the
+    # >=128-feature convs where the int8 MXU path wins 1.47x; parameter
+    # tree is unchanged, so trained checkpoints load either way
+    quantized: bool = False
 
     def _norm(self, channels: int, name: str):
         # Measured (v5e, round 2): swapping in the fused Pallas GroupNorm1
@@ -64,6 +69,8 @@ class DoubleConv(nn.Module):
         # the fused GroupNorm kernel (see _norm): keep nn.Conv here; the
         # packed op stays in the library for standalone narrow-channel
         # workloads.
+        if self.quantized and features >= 128:
+            return DynamicInt8Conv3x3(features, dtype=self.dtype, name=name)
         return nn.Conv(
             features, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
             name=name,
@@ -88,13 +95,16 @@ class Down(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t_emb: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = DoubleConv(in_ch, residual=True, dtype=self.dtype, name="res")(x)
-        x = DoubleConv(self.out_channels, dtype=self.dtype, name="proj")(x)
+        x = DoubleConv(in_ch, residual=True, dtype=self.dtype,
+                       quantized=self.quantized, name="res")(x)
+        x = DoubleConv(self.out_channels, dtype=self.dtype,
+                       quantized=self.quantized, name="proj")(x)
         emb = nn.silu(t_emb)
         emb = nn.Dense(self.out_channels, dtype=self.dtype, name="emb")(emb)
         return x + emb[:, None, None, :]
@@ -106,6 +116,7 @@ class Up(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(
@@ -114,9 +125,11 @@ class Up(nn.Module):
         x = upsample_2x(x, method="bilinear")
         x = jnp.concatenate([skip, x], axis=-1)
         in_ch = x.shape[-1]
-        x = DoubleConv(in_ch, residual=True, dtype=self.dtype, name="res")(x)
+        x = DoubleConv(in_ch, residual=True, dtype=self.dtype,
+                       quantized=self.quantized, name="res")(x)
         x = DoubleConv(
-            self.out_channels, mid_channels=in_ch // 2, dtype=self.dtype, name="proj"
+            self.out_channels, mid_channels=in_ch // 2, dtype=self.dtype,
+            quantized=self.quantized, name="proj"
         )(x)
         emb = nn.silu(t_emb)
         emb = nn.Dense(self.out_channels, dtype=self.dtype, name="emb")(emb)
@@ -160,6 +173,10 @@ class ConditionalUNet(nn.Module):
     attention_levels_up: Sequence[int] = (2, 1, 0)
     interp_mode: str = "bicubic"  # LR-cond upsample (src/unet_ms.py:156)
     dtype: jnp.dtype = jnp.float32
+    # Serving-only: dynamic int8 compute for the wide (>=128ch) convs —
+    # 1.47x on the v5e int8 MXU path (ops/quantized_conv.py). Approximate;
+    # keep False for training and for exact-parity sampling.
+    conv_quant: bool = False
 
     @nn.compact
     def __call__(
@@ -219,10 +236,12 @@ class ConditionalUNet(nn.Module):
                 return self.n_heads
             return min(self.n_heads, max(1, channels // self.attn_head_dim))
 
-        h = DoubleConv(widths[0], dtype=self.dtype, name="inc")(h)
+        h = DoubleConv(widths[0], dtype=self.dtype,
+                       quantized=self.conv_quant, name="inc")(h)
         skips = [h]
         for i, ch in enumerate(widths[1:] + [widths[-1]], start=1):
-            h = Down(ch, dtype=self.dtype, name=f"down{i}")(h, t_emb)
+            h = Down(ch, dtype=self.dtype, quantized=self.conv_quant,
+                     name=f"down{i}")(h, t_emb)
             if i in self.attention_levels:
                 h = ImageSelfAttention(
                     n_heads=heads_for(h.shape[-1]),
@@ -234,15 +253,18 @@ class ConditionalUNet(nn.Module):
 
         # --- bottleneck ---------------------------------------------------
         mid_ch = self.base_channels * self.bottleneck_mult
-        h = DoubleConv(mid_ch, dtype=self.dtype, name="bot1")(h)
-        h = DoubleConv(skips[-1].shape[-1], dtype=self.dtype, name="bot2")(h)
+        h = DoubleConv(mid_ch, dtype=self.dtype,
+                       quantized=self.conv_quant, name="bot1")(h)
+        h = DoubleConv(skips[-1].shape[-1], dtype=self.dtype,
+                       quantized=self.conv_quant, name="bot2")(h)
 
         # --- decoder -----------------------------------------------------
         n_levels = len(widths)
         up_widths = list(reversed(widths[:-1])) + [widths[0]]
         for i in range(n_levels):
             skip = skips[-(i + 2)]
-            h = Up(up_widths[i], dtype=self.dtype, name=f"up{i + 1}")(h, skip, t_emb)
+            h = Up(up_widths[i], dtype=self.dtype, quantized=self.conv_quant,
+                   name=f"up{i + 1}")(h, skip, t_emb)
             level = n_levels - 1 - i  # resolution level after this Up
             if level in self.attention_levels_up:
                 h = ImageSelfAttention(
