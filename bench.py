@@ -8,6 +8,7 @@ reference-equivalent benchmark configs from BASELINE.md:
     danra64      64x64 unconditional      (config #2)
     danra64cond  64x64 conditional lsm+topo+sdf (config #3)
     danra128     128x128 conditional, the primary metric (config #4)
+    danra128int8 same, dynamic-int8 serving mode (approximate; ~+8%)
     cascade      imagen base64+SR128 elucidated cascade sampling (config #5)
     train        training steps/sec on the danra128 config
 
@@ -100,7 +101,8 @@ def _time_sampler(sample_fn, batch):
     return sps
 
 
-def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = ""):
+def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = "",
+                conv_quant: bool = False):
     from __graft_entry__ import _example_batch, _flagship
     from diffusionmodelscustom_tpu.core import GaussianDiffusion
     from diffusionmodelscustom_tpu.models import ConditionalUNet
@@ -108,6 +110,16 @@ def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = ""):
 
     if conditional:
         model = _flagship()
+        if conv_quant:
+            # serving mode: dynamic int8 on the >=128ch convs
+            import dataclasses as _dc
+
+            model = ConditionalUNet(
+                **{**{f.name: getattr(model, f.name)
+                      for f in _dc.fields(model)
+                      if f.name not in ("parent", "name")},
+                   "conv_quant": True}
+            )
         cond = _example_batch(jax.random.key(2), batch, size)
         params = model.init(
             jax.random.key(0),
@@ -244,7 +256,8 @@ def main() -> None:
     parser.add_argument(
         "--config",
         default="danra128",
-        choices=["mnist", "danra64", "danra64cond", "danra128", "cascade", "train"],
+        choices=["mnist", "danra64", "danra64cond", "danra128",
+                 "danra128int8", "cascade", "train"],
     )
     args = parser.parse_args()
     log(f"backend={jax.default_backend()} devices={len(jax.devices())} "
@@ -252,6 +265,10 @@ def main() -> None:
 
     if args.config == "mnist":
         bench_mnist()
+    elif args.config == "danra128int8":
+        bench_danra(128, conditional=True, batch=32,
+                    tag="danra128_cond_ddpm1000_sampling_int8",
+                    conv_quant=True)
     elif args.config == "danra64":
         bench_danra(64, conditional=False, batch=16, tag="danra64_uncond_ddpm1000")
     elif args.config == "danra64cond":

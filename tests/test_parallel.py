@@ -199,3 +199,38 @@ def test_sharded_sampling_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_spatial_sharded_sampling_matches_single_device():
+    """Full-domain generation story: the ENTIRE fused sampling scan runs
+    with the image height sharded over the model axis (XLA inserting conv
+    halo exchanges every step) and must match the unsharded samples —
+    this is how a 589x789 full-DANRA-domain field that exceeds one chip's
+    memory gets generated (SURVEY.md section 5.7)."""
+    from diffusionmodelscustom_tpu.core import GaussianDiffusion
+    from diffusionmodelscustom_tpu.sampling import ancestral_sample
+
+    model = ConditionalUNet(
+        out_channels=1, base_channels=8, time_dim=16, n_heads=2,
+        attention_levels=(), attention_levels_up=(),
+    )
+    diff = GaussianDiffusion.create(n_timesteps=12)
+    x0 = jnp.zeros((2, 32, 32, 1))
+    params = model.init(jax.random.key(0), x0, jnp.zeros((2,), jnp.int32))
+
+    def denoise(x, t):
+        return model.apply(params, x, t)
+
+    fn = lambda key: ancestral_sample(denoise, diff, key, (2, 32, 32, 1))
+    ref = jax.jit(fn)(jax.random.key(3))
+
+    from diffusionmodelscustom_tpu.parallel import spatial_batch_sharding
+
+    mesh = make_mesh(2, 4)  # H split 4-ways, batch 2-ways
+    with mesh:
+        out = jax.jit(fn, out_shardings=spatial_batch_sharding(mesh))(
+            jax.random.key(3)
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
