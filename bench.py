@@ -112,14 +112,7 @@ def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = "",
         model = _flagship()
         if conv_quant:
             # serving mode: dynamic int8 on the >=128ch convs
-            import dataclasses as _dc
-
-            model = ConditionalUNet(
-                **{**{f.name: getattr(model, f.name)
-                      for f in _dc.fields(model)
-                      if f.name not in ("parent", "name")},
-                   "conv_quant": True}
-            )
+            model = model.clone(conv_quant=True)
         cond = _example_batch(jax.random.key(2), batch, size)
         params = model.init(
             jax.random.key(0),

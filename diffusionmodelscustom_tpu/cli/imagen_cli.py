@@ -193,7 +193,14 @@ def _build_cascade(cfg: RootConfig):
         n = len(im.unets)
 
         def per(v, i):
-            return v[i] if isinstance(v, list) else v
+            if isinstance(v, list):
+                if len(v) != n:
+                    raise ValueError(
+                        f"per-unet EDM list has {len(v)} entries but the "
+                        f"config defines {n} unets — lists must match"
+                    )
+                return v[i]
+            return v
 
         extra["edm"] = [
             EDMConfig(
@@ -302,6 +309,10 @@ def train(config_path, unet_number, steps, synthetic, data_dir, platform):
             warmup_steps=cfg.trainer.warmup_steps,
             cosine_decay_max_steps=cfg.trainer.cosine_decay_max_steps,
             checkpoint_every=cfg.trainer.checkpoint_every,
+            # periodic checkpointing + auto-resume need the folder too
+            # (imagen_trainer.py requires BOTH checkpoint_every and
+            # checkpoint_path)
+            checkpoint_path=cfg.checkpoint_path,
             max_checkpoints_keep=cfg.trainer.max_checkpoints_keep,
             only_train_unet=cfg.trainer.only_train_unet,
         ),

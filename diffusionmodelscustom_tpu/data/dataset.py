@@ -152,12 +152,7 @@ class DanraDataset:
         # full-domain EDT — cheaper but it disagrees wherever the nearest
         # land lies outside the crop.) The per-window EDT routes through
         # the native C++ kernel when built; a 128x128 window costs ~us.
-        # sdf_full remains for the non-cutout whole-domain path.
-        self.sdf_full = None
-        if config.sdf_weighted_loss and self.lsm_full is not None:
-            if not config.cutouts:
-                self.sdf_full = generate_sdf(self.lsm_full)
-
+        # Like the reference, 'sdf' is only emitted on the cutout path.
         self.scaler = (
             Scale(config.in_low, config.in_high, config.data_min_in, config.data_max_in)
             if config.scale

@@ -21,9 +21,11 @@ Scheme — dynamic symmetric quantization, zero calibration state:
   in fact invariant to the per-tensor part of the scale).
 
 This is an approximation for inference/serving: use it for sampling
-(``ConditionalUNet(conv_quant=True)``), never for training — no VJP is
-provided, matching that intent. The reference has no quantized path
-(pure fp32 torch, SURVEY.md section 6).
+(``ConditionalUNet(conv_quant=True)``), never for training — a
+custom_vjp raises on any attempt to differentiate through it (without
+it, jax.grad would silently produce ZERO gradients through the
+round/int8 casts and the wide convs would just stop learning). The
+reference has no quantized path (pure fp32 torch, SURVEY.md section 6).
 """
 
 from __future__ import annotations
@@ -52,15 +54,8 @@ def quantize_tensor(x: jnp.ndarray):
     return q, scale
 
 
-def dynamic_int8_conv3x3(
-    x: jnp.ndarray, kernel: jnp.ndarray, out_dtype=None
-) -> jnp.ndarray:
-    """3x3 stride-1 same-padding conv computed on the int8 MXU path.
-
-    x: (B, H, W, Cin) float; kernel: (3, 3, Cin, Cout) float (quantized
-    internally). Returns float (``out_dtype`` or x.dtype).
-    """
-    out_dtype = out_dtype or x.dtype
+@jax.custom_vjp
+def _int8_conv_core(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     qx, sx = quantize_tensor(x)
     qw, sw = quantize_conv_kernel(kernel)
     acc = jax.lax.conv_general_dilated(
@@ -71,7 +66,35 @@ def dynamic_int8_conv3x3(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    return (acc.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+    return acc.astype(jnp.float32) * (sx * sw)
+
+
+def _int8_conv_fwd(x, kernel):
+    return _int8_conv_core(x, kernel), None
+
+
+def _int8_conv_bwd(res, g):
+    raise NotImplementedError(
+        "dynamic_int8_conv3x3 is a serving-only op: differentiating "
+        "through the int8 quantizer would yield silent zero gradients. "
+        "Train with conv_quant=False and quantize for sampling."
+    )
+
+
+_int8_conv_core.defvjp(_int8_conv_fwd, _int8_conv_bwd)
+
+
+def dynamic_int8_conv3x3(
+    x: jnp.ndarray, kernel: jnp.ndarray, out_dtype=None
+) -> jnp.ndarray:
+    """3x3 stride-1 same-padding conv computed on the int8 MXU path.
+
+    x: (B, H, W, Cin) float; kernel: (3, 3, Cin, Cout) float (quantized
+    internally). Returns float (``out_dtype`` or x.dtype). Serving-only:
+    attempting to differentiate raises (see module docstring).
+    """
+    out_dtype = out_dtype or x.dtype
+    return _int8_conv_core(x, kernel).astype(out_dtype)
 
 
 class DynamicInt8Conv3x3(nn.Module):

@@ -20,8 +20,10 @@ lands exactly on x_u is
            / (sqrt(1-abar_u) - sqrt(abar_u (1-abar_t)/abar_t))
 
 (the denominator is strictly negative for u < t, so the division is
-well-conditioned away from u == t). The loss weights each term by the
-truncated SNR max(1, abar/(1-abar)) as in the paper's Appendix E.
+well-conditioned away from u == t). The loss applies the paper's
+truncated-SNR weighting (Appendix E): w(SNR) = max(SNR, 1) on the
+x0-space error, which in this epsilon-space loss is max(1, 1/SNR)
+(eps_err^2 = SNR * x0_err^2).
 
 Every step is a single donated jit; under a mesh the batch shards on the
 ``data`` axis like the main Trainer.
@@ -144,7 +146,7 @@ class ProgressiveDistiller:
         )
 
     def _step_impl(
-        self, state: TrainState, batch: Batch, rng: jax.Array
+        self, state: TrainState, teacher_params, batch: Batch, rng: jax.Array
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng_i, rng_noise = jax.random.split(rng)
         x0 = batch["img"]
@@ -164,9 +166,9 @@ class ProgressiveDistiller:
         x_t = self.diffusion.q_sample(x0, t, noise)
 
         # two frozen teacher DDIM steps t -> s -> u
-        eps1 = self._eps(self.teacher_params, batch, x_t, t)
+        eps1 = self._eps(teacher_params, batch, x_t, t)
         x_s = self.diffusion.ddim_step(x_t, t, s, eps1)
-        eps2 = self._eps(self.teacher_params, batch, x_s, s)
+        eps2 = self._eps(teacher_params, batch, x_s, s)
         x_u = self.diffusion.ddim_step(x_s, s, u, eps2)
         target = jax.lax.stop_gradient(
             distillation_target(self.diffusion, x_t, x_u, t, u)
@@ -176,8 +178,11 @@ class ProgressiveDistiller:
             pred = self._eps(params, batch, x_t, t)
             err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
             if self.config.snr_loss_weight:
+                # truncated SNR max(SNR, 1) on the x0-space error; the
+                # epsilon-space equivalent is max(1, 1/SNR) since
+                # eps_err^2 = SNR * x0_err^2
                 a_t = _abar(self.diffusion, t, err)
-                w = jnp.maximum(1.0, a_t / (1.0 - a_t))
+                w = jnp.maximum(1.0, (1.0 - a_t) / a_t)
                 err = err * w
             return err.mean()
 
@@ -190,7 +195,10 @@ class ProgressiveDistiller:
     def distill_step(
         self, state: TrainState, batch: Batch, rng: jax.Array
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        return self._step(state, batch, rng)
+        # teacher passed as a jit ARGUMENT: captured in the closure it
+        # would be baked into the HLO as constants (executable bloat and
+        # a guaranteed cache miss per halving round)
+        return self._step(state, self.teacher_params, batch, rng)
 
 
 def progressive_distill(
@@ -213,10 +221,17 @@ def progressive_distill(
     ``ddim_sample(..., num_steps=num_steps)``.
     """
     rng = jax.random.key(0) if rng is None else rng
+    end_steps = max(end_steps, 1)
+    if end_steps > start_steps:
+        raise ValueError(
+            f"end_steps ({end_steps}) must not exceed start_steps "
+            f"({start_steps})"
+        )
     n = start_steps
     params = teacher_params
     it = iter(batches)
-    while n >= max(end_steps, 1):
+    trained_n = start_steps
+    while n >= end_steps:
         cfg = dataclasses.replace(config, num_student_steps=n)
         d = ProgressiveDistiller(model, diffusion, params, cfg)
         state = d.init_state()
@@ -225,10 +240,11 @@ def progressive_distill(
                 state, next(it), jax.random.fold_in(rng, n * 100003 + k)
             )
         params = state.ema_params if cfg.ema else state.params
-        if n == max(end_steps, 1):
-            break
+        trained_n = n
         n //= 2
-    return params, max(end_steps, 1)
+    # report the grid the student was ACTUALLY distilled on (the halving
+    # sequence from start_steps may not hit end_steps exactly)
+    return params, trained_n
 
 
 __all__ = [

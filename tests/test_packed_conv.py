@@ -102,9 +102,10 @@ def test_module_odd_width_falls_back():
     )
 
 
-def test_flagship_doubleconv_uses_packed_and_matches_golden_math():
-    """DoubleConv with packed convs must equal one with direct nn.Conv
-    given the same parameters (the swap is invisible to checkpoints)."""
+def test_flagship_doubleconv_matches_golden_math():
+    """DoubleConv (plain nn.Conv path — the packed swap was reverted
+    after the in-context regression) must match a hand-rolled
+    conv/GN/GELU reference computation on the same parameters."""
     from diffusionmodelscustom_tpu.models.unet import DoubleConv
 
     x = jax.random.normal(jax.random.key(2), (2, 16, 16, 64))

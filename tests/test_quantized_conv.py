@@ -83,3 +83,12 @@ def test_flagship_conv_quant_sampling_close_and_finite():
     assert bool(jnp.isfinite(b).all())
     rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
     assert rel < 0.05, rel
+
+
+def test_grad_through_int8_conv_raises():
+    import pytest as _pytest
+
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 16))
+    k = jax.random.normal(jax.random.key(1), (3, 3, 16, 16)) * 0.1
+    with _pytest.raises(NotImplementedError):
+        jax.grad(lambda k: dynamic_int8_conv3x3(x, k).sum())(k)
