@@ -9,6 +9,7 @@ reference-equivalent benchmark configs from BASELINE.md:
     danra64cond  64x64 conditional lsm+topo+sdf (config #3)
     danra128     128x128 conditional, the primary metric (config #4)
     danra128int8 same, dynamic-int8 serving mode (approximate; ~+8%)
+    latency      batch-1 danra128 sampling latency (serving SLO view)
     cascade      imagen base64+SR128 elucidated cascade sampling (config #5)
     train        training steps/sec on the danra128 config
 
@@ -250,7 +251,7 @@ def main() -> None:
         "--config",
         default="danra128",
         choices=["mnist", "danra64", "danra64cond", "danra128",
-                 "danra128int8", "cascade", "train"],
+                 "danra128int8", "latency", "cascade", "train"],
     )
     args = parser.parse_args()
     log(f"backend={jax.default_backend()} devices={len(jax.devices())} "
@@ -258,6 +259,37 @@ def main() -> None:
 
     if args.config == "mnist":
         bench_mnist()
+    elif args.config == "latency":
+        # serving latency: ONE 128px sample, full 1000-step chain
+        from __graft_entry__ import _example_batch, _flagship
+        from diffusionmodelscustom_tpu.core import GaussianDiffusion
+        from diffusionmodelscustom_tpu.sampling import ancestral_sample
+
+        model = _flagship()
+        cond = _example_batch(jax.random.key(2), 1, 128)
+        params = model.init(
+            jax.random.key(0), cond["img"], jnp.zeros((1,), jnp.int32),
+            cond["classifier"], cond["img_cond"], cond["lsm"], cond["topo"],
+        )["params"]
+
+        def denoise(x, t):
+            return model.apply(
+                {"params": params}, x, t, cond["classifier"],
+                cond["img_cond"], cond["lsm"], cond["topo"],
+            )
+
+        diffusion = GaussianDiffusion.create(n_timesteps=N_TIMESTEPS)
+        fn = jax.jit(lambda key: ancestral_sample(
+            denoise, diffusion, key, (1, 128, 128, 1)))
+        _sync(fn(jax.random.key(3)))
+        t0 = time.perf_counter()
+        _sync(fn(jax.random.key(4)))
+        dt = time.perf_counter() - t0
+        log(f"batch-1 latency: {dt:.3f}s for one 1000-step 128px sample")
+        # reference projection: one A100 sample at the same step count
+        ref_latency = 1.0 / ref_a100_sps("danra128")
+        emit("danra128_cond_ddpm1000_latency", dt, "seconds/sample",
+             ref_latency / dt)
     elif args.config == "danra128int8":
         bench_danra(128, conditional=True, batch=32,
                     tag="danra128_cond_ddpm1000_sampling_int8",

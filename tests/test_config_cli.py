@@ -241,3 +241,64 @@ def test_imagen_cli_train_and_sample_end_to_end(tmp_path):
 
     arr = np.load(out)["images"] if "images" in np.load(out) else np.load(out)[np.load(out).files[0]]
     assert arr.shape[0] == 1 and np.isfinite(arr).all()
+
+
+def test_distill_cli_end_to_end(tmp_path):
+    """cli.distill: train a tiny teacher via cli.train, distill it down
+    the halving schedule, and sample with the distilled student at its
+    manifest budget (the full few-step serving workflow)."""
+    import json as _json
+
+    import numpy as np
+
+    from diffusionmodelscustom_tpu.cli.distill import main as distill_main
+    from diffusionmodelscustom_tpu.cli.train import main as train_main
+
+    common = [
+        "--platform", "cpu", "--synthetic",
+        "--hr_size", "16", "--batch_size", "8", "--n_timesteps", "16",
+        "--model_family", "flagship",
+        "--path_data", str(tmp_path / "data"),
+        "--path_save", str(tmp_path / "runs"),
+        "--set", "unet.base_channels=8",
+        "--set", "unet.time_embedding_size=32",
+    ]
+    rc = train_main(common + ["--epochs", "1", "--loss_type", "simple"])
+    assert rc == 0
+
+    out = tmp_path / "distilled"
+    rc = distill_main(common + [
+        "--teacher", str(tmp_path / "runs" / "model_checkpoints"),
+        "--start_steps", "4", "--end_steps", "2", "--steps_per_round", "2",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    manifest = _json.loads((out / "manifest.json").read_text())
+    assert manifest["num_steps"] == 2
+
+    # sample with the distilled student at the manifest budget
+    import jax
+    import jax.numpy as jnp
+
+    from diffusionmodelscustom_tpu.cli.train import (
+        build_model, build_parser, config_from_args,
+    )
+    from diffusionmodelscustom_tpu.core import GaussianDiffusion
+    from diffusionmodelscustom_tpu.sampling import ddim_sample
+    from diffusionmodelscustom_tpu.utils.checkpoint import restore_pytree
+
+    args = build_parser().parse_args(common)
+    cfg = config_from_args(args)
+    model = build_model(cfg)
+    x = jnp.zeros((1, 16, 16, 1))
+    template = model.init(jax.random.key(0), x, jnp.zeros((1,), jnp.int32))[
+        "params"
+    ]
+    params = restore_pytree(out / "params", template)
+    diff = GaussianDiffusion.create(n_timesteps=16)
+    sample = ddim_sample(
+        lambda xx, tt: model.apply({"params": params}, xx, tt),
+        diff, jax.random.key(1), (1, 16, 16, 1),
+        num_steps=manifest["num_steps"],
+    )
+    assert np.isfinite(np.asarray(sample)).all()
