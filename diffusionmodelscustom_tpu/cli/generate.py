@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["ancestral", "ddim", "dpmpp"])
     p.add_argument("--ddim_steps", type=int, default=None)
     p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--distilled", type=str, default=None,
+                   help="cli.distill output dir: loads its params and "
+                        "samples with DDIM at the manifest's step budget")
+    p.add_argument("--conv_quant", action="store_true",
+                   help="dynamic-int8 serving convs (flagship only; "
+                        "approximate, ~+8%% throughput)")
     p.add_argument("--out_dir", type=str, default=None)
     return p
 
@@ -88,6 +94,27 @@ def main(argv=None) -> int:
         print("[generate] WARNING: no checkpoint found, using init", file=sys.stderr)
     mgr.close()
     params = state.ema_params if (args.use_ema and state.ema_params is not None) else state.params
+
+    if args.distilled:
+        # few-step student from cli.distill: its manifest pins the DDIM
+        # budget it was distilled for
+        import json as _json
+
+        ddir = Path(args.distilled)
+        manifest = _json.loads((ddir / "manifest.json").read_text())
+        from ..utils.checkpoint import restore_pytree
+
+        params = restore_pytree(ddir / "params", params)
+        cfg = cfg.update({
+            "diffusion.sampler": "ddim",
+            "diffusion.ddim_steps": int(manifest["num_steps"]),
+        })
+        print(f"[generate] distilled student: ddim {manifest['num_steps']} "
+              "steps", file=sys.stderr)
+    if args.conv_quant:
+        if not hasattr(model, "conv_quant"):
+            raise SystemExit("--conv_quant requires the flagship model family")
+        model = model.clone(conv_quant=True)
 
     size = tuple(cfg.data.hr_shape)
     variant = args.variant

@@ -1,0 +1,237 @@
+"""Minimal production-style sampling server (stdlib HTTP, no deps).
+
+Loads a trained checkpoint (or a ``cli.distill`` student), compiles ONE
+fixed-shape sampler at startup (paying the trace/compile once, the AOT
+philosophy of ``utils/serving.py``), then serves:
+
+    GET  /healthz            -> 200 "ok"
+    GET  /info               -> JSON {model_family, sampler, steps, batch}
+    POST /sample {"seed": N} -> application/x-npz with arrays
+                                gen (B,H,W,1) + the conditioning used
+
+Conditioning is drawn round-robin from the configured dataset (the
+serving-side analogue of the reference's generation script pairing,
+generation_DANRA_conditional.py:380-429). One request is in flight at a
+time — a single accelerator runs one sampler anyway.
+
+    python -m diffusionmodelscustom_tpu.cli.serve \\
+        --synthetic --path_data data/ --path_save runs/ \\
+        --port 8787 [--distilled runs/distilled] [--conv_quant]
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+from .train import apply_platform, build_data, build_model, build_parser, config_from_args
+
+
+def build_serve_parser():
+    p = build_parser()
+    p.prog = "diffusionmodelscustom_tpu.cli.serve"
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--sample_batch", type=int, default=1,
+                   help="fixed batch of the compiled sampler")
+    p.add_argument("--sampler", type=str, default=None,
+                   choices=["ancestral", "ddim", "dpmpp"])
+    p.add_argument("--ddim_steps", type=int, default=None)
+    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--distilled", type=str, default=None,
+                   help="cli.distill output dir (params + manifest)")
+    p.add_argument("--conv_quant", action="store_true",
+                   help="dynamic-int8 serving convs (flagship only)")
+    return p
+
+
+class SamplerService:
+    """Owns the compiled sampler + conditioning source; thread-safe."""
+
+    def __init__(self, args):
+        import jax
+        import jax.numpy as jnp
+
+        from ..core import GaussianDiffusion
+        from ..sampling import ancestral_sample, ddim_sample, dpmpp_2m_sample
+        from ..train import Trainer, TrainerConfig
+        from ..utils.checkpoint import CheckpointManager, restore_pytree
+
+        cfg = config_from_args(args)
+        if args.sampler:
+            cfg = cfg.update({"diffusion.sampler": args.sampler})
+        if args.ddim_steps:
+            cfg = cfg.update({"diffusion.ddim_steps": args.ddim_steps})
+
+        model = build_model(cfg)
+        diffusion = GaussianDiffusion.create(
+            n_timesteps=cfg.diffusion.n_timesteps,
+            beta_min=cfg.diffusion.beta_min,
+            beta_max=cfg.diffusion.beta_max,
+            scheduler=cfg.diffusion.beta_scheduler,
+        )
+        dataset, loader = build_data(cfg, args.synthetic)
+
+        trainer = Trainer(
+            model, diffusion, TrainerConfig(num_classes=cfg.unet.num_classes)
+        )
+        example = next(iter(loader))
+        example.pop("points", None)
+        state = trainer.init_state(jax.random.key(cfg.training.seed), example)
+        ckpt_dir = Path(cfg.data.path_save) / cfg.data.path_checkpoint
+        if ckpt_dir.exists():
+            mgr = CheckpointManager(ckpt_dir, best_mode="min")
+            step = mgr.best_step() or mgr.latest_step()
+            if step is not None:
+                state = mgr.restore(state, step=step)
+                print(f"[serve] restored checkpoint step {step}", file=sys.stderr)
+            mgr.close()
+        params = (
+            state.ema_params
+            if (args.use_ema and state.ema_params is not None)
+            else state.params
+        )
+
+        sampler_name = cfg.diffusion.sampler
+        steps = cfg.diffusion.ddim_steps
+        if args.distilled:
+            ddir = Path(args.distilled)
+            manifest = json.loads((ddir / "manifest.json").read_text())
+            params = restore_pytree(ddir / "params", params)
+            sampler_name, steps = "ddim", int(manifest["num_steps"])
+            print(f"[serve] distilled student: ddim {steps} steps", file=sys.stderr)
+        if args.conv_quant:
+            if not hasattr(model, "conv_quant"):
+                raise SystemExit("--conv_quant requires the flagship family")
+            model = model.clone(conv_quant=True)
+
+        b = args.sample_batch
+        size = tuple(cfg.data.hr_shape)
+        self._loader = loader
+        self._iter = iter(loader)
+        self._lock = threading.Lock()
+        self.info = {
+            "model_family": cfg.unet.family,
+            "sampler": sampler_name,
+            "steps": steps if sampler_name != "ancestral" else diffusion.n_timesteps,
+            "batch": b,
+            "image_size": list(size),
+        }
+
+        def run(y, cond, lsm, topo, key):
+            def denoise(x, t):
+                return model.apply({"params": params}, x, t, y, cond, lsm, topo)
+
+            shape = (b, size[0], size[1], cfg.unet.out_channels)
+            if sampler_name == "ddim":
+                return ddim_sample(denoise, diffusion, key, shape, num_steps=steps)
+            if sampler_name == "dpmpp":
+                return dpmpp_2m_sample(denoise, diffusion, key, shape, num_steps=steps)
+            return ancestral_sample(denoise, diffusion, key, shape)
+
+        self._run = jax.jit(run)
+        self._jnp = jnp
+        self._jax = jax
+        # warm the executable now — requests never pay the compile
+        print("[serve] compiling sampler ...", file=sys.stderr)
+        batch = self._next_cond()
+        np.asarray(self._sample_arrays(batch, 0)["gen"])
+        print("[serve] ready", file=sys.stderr)
+
+    def _next_cond(self):
+        with self._lock:
+            try:
+                batch = next(self._iter)
+            except StopIteration:
+                self._iter = iter(self._loader)
+                batch = next(self._iter)
+        batch.pop("points", None)
+        b = self.info["batch"]
+        return {k: self._jnp.asarray(v[:b]) for k, v in batch.items()}
+
+    def _sample_arrays(self, batch, seed: int):
+        gen = self._run(
+            batch.get("classifier"),
+            batch.get("img_cond"),
+            batch.get("lsm"),
+            batch.get("topo"),
+            self._jax.random.key(seed),
+        )
+        out = {"gen": np.asarray(gen)}
+        for k in ("img", "img_cond", "lsm", "topo", "classifier"):
+            if k in batch:
+                out[k] = np.asarray(batch[k])
+        return out
+
+    def sample_npz(self, seed: int) -> bytes:
+        batch = self._next_cond()
+        arrays = self._sample_arrays(batch, seed)
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        return buf.getvalue()
+
+
+def make_handler(service: SamplerService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # route through stderr, quiet tests
+            print("[serve]", fmt % a, file=sys.stderr)
+
+        def _send(self, code, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/info":
+                self._send(
+                    200, json.dumps(service.info).encode(), "application/json"
+                )
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/sample":
+                self._send(404, b"not found", "text/plain")
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(n) or b"{}")
+                seed = int(req.get("seed", 0))
+                body = service.sample_npz(seed)
+            except Exception as e:  # surface the error to the client
+                self._send(500, str(e).encode(), "text/plain")
+                return
+            self._send(200, body, "application/x-npz")
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    args = build_serve_parser().parse_args(argv)
+    apply_platform(args)
+    service = SamplerService(args)
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(service)
+    )
+    print(f"[serve] listening on {args.host}:{args.port}", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
