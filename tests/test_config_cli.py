@@ -212,7 +212,7 @@ def test_imagen_cli_train_and_sample_end_to_end(tmp_path):
                 }
             ],
         },
-        "trainer": {"lr": 1e-3},
+        "trainer": {"lr": 1e-3, "checkpoint_every": 2},
         "dataset": {"batch_size": 2},
         "checkpoint_path": str(tmp_path / "ckpts"),
     }
@@ -228,6 +228,11 @@ def test_imagen_cli_train_and_sample_end_to_end(tmp_path):
     )
     assert r.exit_code == 0, r.output
     assert (tmp_path / "ckpts" / "unet1").exists()
+    # checkpoint_every fired (requires checkpoint_path to reach
+    # ImagenTrainerConfig — the knob was inert before round 3's fix);
+    # periodic checkpoints land as <checkpoint_path>/ckpt_<steps>/
+    periodic = list((tmp_path / "ckpts").glob("ckpt_*"))
+    assert periodic, list((tmp_path / "ckpts").iterdir())
 
     out = tmp_path / "sample.npz"
     r = runner.invoke(
