@@ -61,10 +61,11 @@ def _load_teacher(args, trainer, example, rng):
     if is_manager:
         from ..utils.checkpoint import CheckpointManager
 
-        ckpt = CheckpointManager(path, max_to_keep=3)
-        state = ckpt.restore(state)
-        print(f"[distill] teacher from manager step {ckpt.latest_step()}",
-              file=sys.stderr)
+        ckpt = CheckpointManager(path, max_to_keep=3, best_mode="min")
+        # prefer the best-validation checkpoint, as generate/serve do
+        step = ckpt.best_step() or ckpt.latest_step()
+        state = ckpt.restore(state, step=step)
+        print(f"[distill] teacher from manager step {step}", file=sys.stderr)
     else:
         from ..utils.checkpoint import restore_pytree
 
@@ -83,7 +84,7 @@ def main(argv=None) -> int:
     import jax
 
     from ..core import GaussianDiffusion
-    from ..train import Trainer, TrainerConfig
+    from ..train import Trainer
     from ..train.distill import DistillConfig, progressive_distill
     from ..utils.checkpoint import save_pytree
 
@@ -96,10 +97,12 @@ def main(argv=None) -> int:
         beta_max=cfg.diffusion.beta_max,
         scheduler=cfg.diffusion.beta_scheduler,
     )
-    trainer = Trainer(
-        model, diffusion,
-        TrainerConfig(loss="simple", num_classes=cfg.unet.num_classes),
-    )
+    # the restore template's optimizer tree must mirror the training
+    # run's (clip wrapper / MultiSteps / scheduler state), or Orbax fails
+    # with a structure mismatch — use the one shared construction
+    from .train import trainer_config_from_experiment
+
+    trainer = Trainer(model, diffusion, trainer_config_from_experiment(cfg, 1))
 
     rng = jax.random.key(cfg.training.seed)
     example = next(iter(loader))

@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["ancestral", "ddim", "dpmpp"])
     p.add_argument("--ddim_steps", type=int, default=None)
     p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--no-use_ema", dest="use_ema", action="store_false",
+                   help="sample with the raw (non-EMA) parameters")
     p.add_argument("--distilled", type=str, default=None,
                    help="cli.distill output dir: loads its params and "
                         "samples with DDIM at the manifest's step budget")
@@ -66,8 +68,7 @@ def main(argv=None) -> int:
 
     from ..core import GaussianDiffusion
     from ..sampling import ancestral_sample, ddim_sample, dpmpp_2m_sample
-    from ..train import Trainer, TrainerConfig
-    from ..utils.checkpoint import CheckpointManager
+    from .inference import load_inference_setup
 
     model = build_model(cfg)
     diffusion = GaussianDiffusion.create(
@@ -78,43 +79,12 @@ def main(argv=None) -> int:
     )
     dataset, loader = build_data(cfg, args.synthetic)
 
-    # restore best checkpoint (generation_DANRA_conditional.py:353-360)
-    trainer = Trainer(model, diffusion, TrainerConfig(num_classes=cfg.unet.num_classes))
+    # restore best checkpoint (generation_DANRA_conditional.py:353-360);
+    # shared with cli.serve so the two entry points cannot drift
     rng = jax.random.key(cfg.training.seed)
-    example = next(iter(loader))
-    example.pop("points", None)
-    state = trainer.init_state(rng, example)
-    ckpt_dir = Path(cfg.data.path_save) / cfg.data.path_checkpoint
-    mgr = CheckpointManager(ckpt_dir, best_mode="min")
-    step = mgr.best_step() or mgr.latest_step()
-    if step is not None:
-        state = mgr.restore(state, step=step)
-        print(f"[generate] restored checkpoint step {step}", file=sys.stderr)
-    else:
-        print("[generate] WARNING: no checkpoint found, using init", file=sys.stderr)
-    mgr.close()
-    params = state.ema_params if (args.use_ema and state.ema_params is not None) else state.params
-
-    if args.distilled:
-        # few-step student from cli.distill: its manifest pins the DDIM
-        # budget it was distilled for
-        import json as _json
-
-        ddir = Path(args.distilled)
-        manifest = _json.loads((ddir / "manifest.json").read_text())
-        from ..utils.checkpoint import restore_pytree
-
-        params = restore_pytree(ddir / "params", params)
-        cfg = cfg.update({
-            "diffusion.sampler": "ddim",
-            "diffusion.ddim_steps": int(manifest["num_steps"]),
-        })
-        print(f"[generate] distilled student: ddim {manifest['num_steps']} "
-              "steps", file=sys.stderr)
-    if args.conv_quant:
-        if not hasattr(model, "conv_quant"):
-            raise SystemExit("--conv_quant requires the flagship model family")
-        model = model.clone(conv_quant=True)
+    model, params, batch_stats, sampler_name, sampler_steps = (
+        load_inference_setup(cfg, args, model, diffusion, loader)
+    )
 
     size = tuple(cfg.data.hr_shape)
     variant = args.variant
@@ -145,8 +115,8 @@ def main(argv=None) -> int:
 
             def run(y, cond, lsm, topo, key, b=b):
                 variables = {"params": params}
-                if state.batch_stats is not None:
-                    variables["batch_stats"] = state.batch_stats
+                if batch_stats is not None:
+                    variables["batch_stats"] = batch_stats
 
                 def denoise(x, t):
                     return model.apply(variables, x, t, y, cond, lsm, topo)
@@ -159,15 +129,15 @@ def main(argv=None) -> int:
                     uncond_fn=uncond if cfg.diffusion.cfg_scale > 0 else None,
                     cfg_scale=cfg.diffusion.cfg_scale,
                 )
-                if cfg.diffusion.sampler == "ddim":
+                if sampler_name == "ddim":
                     return ddim_sample(
                         denoise, diffusion, key, shape,
-                        num_steps=cfg.diffusion.ddim_steps, **kw,
+                        num_steps=sampler_steps, **kw,
                     )
-                if cfg.diffusion.sampler == "dpmpp":
+                if sampler_name == "dpmpp":
                     return dpmpp_2m_sample(
                         denoise, diffusion, key, shape,
-                        num_steps=cfg.diffusion.ddim_steps, **kw,
+                        num_steps=sampler_steps, **kw,
                     )
                 return ancestral_sample(denoise, diffusion, key, shape, **kw)
 

@@ -44,6 +44,8 @@ def build_serve_parser():
                    choices=["ancestral", "ddim", "dpmpp"])
     p.add_argument("--ddim_steps", type=int, default=None)
     p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--no-use_ema", dest="use_ema", action="store_false",
+                   help="serve the raw (non-EMA) parameters")
     p.add_argument("--distilled", type=str, default=None,
                    help="cli.distill output dir (params + manifest)")
     p.add_argument("--conv_quant", action="store_true",
@@ -60,8 +62,7 @@ class SamplerService:
 
         from ..core import GaussianDiffusion
         from ..sampling import ancestral_sample, ddim_sample, dpmpp_2m_sample
-        from ..train import Trainer, TrainerConfig
-        from ..utils.checkpoint import CheckpointManager, restore_pytree
+        from .inference import load_inference_setup
 
         cfg = config_from_args(args)
         if args.sampler:
@@ -77,39 +78,15 @@ class SamplerService:
             scheduler=cfg.diffusion.beta_scheduler,
         )
         dataset, loader = build_data(cfg, args.synthetic)
+        if args.sample_batch > cfg.training.batch_size:
+            raise SystemExit(
+                f"--sample_batch ({args.sample_batch}) must not exceed the "
+                f"loader batch size ({cfg.training.batch_size})"
+            )
 
-        trainer = Trainer(
-            model, diffusion, TrainerConfig(num_classes=cfg.unet.num_classes)
+        model, params, batch_stats, sampler_name, steps = (
+            load_inference_setup(cfg, args, model, diffusion, loader)
         )
-        example = next(iter(loader))
-        example.pop("points", None)
-        state = trainer.init_state(jax.random.key(cfg.training.seed), example)
-        ckpt_dir = Path(cfg.data.path_save) / cfg.data.path_checkpoint
-        if ckpt_dir.exists():
-            mgr = CheckpointManager(ckpt_dir, best_mode="min")
-            step = mgr.best_step() or mgr.latest_step()
-            if step is not None:
-                state = mgr.restore(state, step=step)
-                print(f"[serve] restored checkpoint step {step}", file=sys.stderr)
-            mgr.close()
-        params = (
-            state.ema_params
-            if (args.use_ema and state.ema_params is not None)
-            else state.params
-        )
-
-        sampler_name = cfg.diffusion.sampler
-        steps = cfg.diffusion.ddim_steps
-        if args.distilled:
-            ddir = Path(args.distilled)
-            manifest = json.loads((ddir / "manifest.json").read_text())
-            params = restore_pytree(ddir / "params", params)
-            sampler_name, steps = "ddim", int(manifest["num_steps"])
-            print(f"[serve] distilled student: ddim {steps} steps", file=sys.stderr)
-        if args.conv_quant:
-            if not hasattr(model, "conv_quant"):
-                raise SystemExit("--conv_quant requires the flagship family")
-            model = model.clone(conv_quant=True)
 
         b = args.sample_batch
         size = tuple(cfg.data.hr_shape)
@@ -125,32 +102,47 @@ class SamplerService:
         }
 
         def run(y, cond, lsm, topo, key):
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+
             def denoise(x, t):
-                return model.apply({"params": params}, x, t, y, cond, lsm, topo)
+                return model.apply(variables, x, t, y, cond, lsm, topo)
+
+            def uncond(x, t):
+                return model.apply(variables, x, t, None, None, None, None)
 
             shape = (b, size[0], size[1], cfg.unet.out_channels)
+            # honor classifier-free guidance exactly as cli.generate does
+            kw = dict(
+                uncond_fn=uncond if cfg.diffusion.cfg_scale > 0 else None,
+                cfg_scale=cfg.diffusion.cfg_scale,
+            )
             if sampler_name == "ddim":
-                return ddim_sample(denoise, diffusion, key, shape, num_steps=steps)
+                return ddim_sample(denoise, diffusion, key, shape,
+                                   num_steps=steps, **kw)
             if sampler_name == "dpmpp":
-                return dpmpp_2m_sample(denoise, diffusion, key, shape, num_steps=steps)
-            return ancestral_sample(denoise, diffusion, key, shape)
+                return dpmpp_2m_sample(denoise, diffusion, key, shape,
+                                       num_steps=steps, **kw)
+            return ancestral_sample(denoise, diffusion, key, shape, **kw)
 
         self._run = jax.jit(run)
         self._jnp = jnp
         self._jax = jax
         # warm the executable now — requests never pay the compile
         print("[serve] compiling sampler ...", file=sys.stderr)
-        batch = self._next_cond()
-        np.asarray(self._sample_arrays(batch, 0)["gen"])
+        with self._lock:
+            batch = self._next_cond_locked()
+            np.asarray(self._sample_arrays(batch, 0)["gen"])
         print("[serve] ready", file=sys.stderr)
 
-    def _next_cond(self):
-        with self._lock:
-            try:
-                batch = next(self._iter)
-            except StopIteration:
-                self._iter = iter(self._loader)
-                batch = next(self._iter)
+    def _next_cond_locked(self):
+        """Caller holds self._lock."""
+        try:
+            batch = next(self._iter)
+        except StopIteration:
+            self._iter = iter(self._loader)
+            batch = next(self._iter)
         batch.pop("points", None)
         b = self.info["batch"]
         return {k: self._jnp.asarray(v[:b]) for k, v in batch.items()}
@@ -170,8 +162,11 @@ class SamplerService:
         return out
 
     def sample_npz(self, seed: int) -> bytes:
-        batch = self._next_cond()
-        arrays = self._sample_arrays(batch, seed)
+        # single-flight: one sampler occupies the accelerator at a time
+        # (the docstring's contract — the HTTP server itself is threaded)
+        with self._lock:
+            batch = self._next_cond_locked()
+            arrays = self._sample_arrays(batch, seed)
         buf = io.BytesIO()
         np.savez(buf, **arrays)
         return buf.getvalue()

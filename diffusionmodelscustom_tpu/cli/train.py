@@ -246,6 +246,44 @@ def build_data(cfg, synthetic: bool):
     return dataset, loader
 
 
+def trainer_config_from_experiment(cfg, steps_per_epoch: int):
+    """The ONE TrainerConfig construction for this experiment config.
+
+    Used by training AND by every checkpoint-restoring CLI (generate /
+    distill / serve): the optimizer chain's STRUCTURE (clip wrapper,
+    MultiSteps, scheduler state, EMA) must match the training run's, or
+    Orbax restore fails with a tree mismatch.
+    """
+    from ..train import TrainerConfig
+
+    return TrainerConfig(
+        loss=cfg.training.loss_type,
+        optimizer=cfg.training.optimizer,
+        learning_rate=cfg.training.lr,
+        weight_decay=cfg.training.weight_decay,
+        grad_clip_norm=cfg.training.grad_clip_norm,
+        grad_accum_steps=cfg.training.grad_accum_steps,
+        ema=cfg.training.ema,
+        ema_decay=cfg.training.ema_decay,
+        cfg_dropout_prob=cfg.training.cfg_dropout_prob,
+        early_stopping_patience=cfg.training.early_stopping_patience
+        if cfg.training.early_stopping
+        else None,
+        num_classes=cfg.unet.num_classes,
+        hybrid_alpha=cfg.training.hybrid_alpha,
+        hybrid_timesteps=cfg.training.hybrid_timesteps,
+        # LR scheduler plumbing (src/main_ddpm.py:376-409;
+        # plateau patience counted in epochs via accumulation_size)
+        lr_scheduler=cfg.training.lr_scheduler,
+        plateau_patience=cfg.training.plateau_patience,
+        plateau_factor=cfg.training.plateau_factor,
+        plateau_accumulation=steps_per_epoch,
+        min_lr_ratio=cfg.training.min_lr / max(cfg.training.lr, 1e-12),
+        warmup_steps=cfg.training.warmup_steps,
+        total_steps=max(1, cfg.training.epochs) * steps_per_epoch,
+    )
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     apply_platform(args)
@@ -274,32 +312,7 @@ def main(argv=None) -> int:
     trainer = Trainer(
         model,
         diffusion,
-        TrainerConfig(
-            loss=cfg.training.loss_type,
-            optimizer=cfg.training.optimizer,
-            learning_rate=cfg.training.lr,
-            weight_decay=cfg.training.weight_decay,
-            grad_clip_norm=cfg.training.grad_clip_norm,
-            grad_accum_steps=cfg.training.grad_accum_steps,
-            ema=cfg.training.ema,
-            ema_decay=cfg.training.ema_decay,
-            cfg_dropout_prob=cfg.training.cfg_dropout_prob,
-            early_stopping_patience=cfg.training.early_stopping_patience
-            if cfg.training.early_stopping
-            else None,
-            num_classes=cfg.unet.num_classes,
-            hybrid_alpha=cfg.training.hybrid_alpha,
-            hybrid_timesteps=cfg.training.hybrid_timesteps,
-            # LR scheduler plumbing (src/main_ddpm.py:376-409;
-            # plateau patience counted in epochs via accumulation_size)
-            lr_scheduler=cfg.training.lr_scheduler,
-            plateau_patience=cfg.training.plateau_patience,
-            plateau_factor=cfg.training.plateau_factor,
-            plateau_accumulation=steps_per_epoch,
-            min_lr_ratio=cfg.training.min_lr / max(cfg.training.lr, 1e-12),
-            warmup_steps=cfg.training.warmup_steps,
-            total_steps=cfg.training.epochs * steps_per_epoch,
-        ),
+        trainer_config_from_experiment(cfg, steps_per_epoch),
     )
     mesh = make_mesh(cfg.training.n_data_shards, cfg.training.n_model_shards)
     sharding = batch_sharding(mesh)

@@ -108,6 +108,13 @@ class ProgressiveDistiller:
         self.diffusion = diffusion
         self.teacher_params = teacher_params
         self.config = config
+        if config.num_student_steps > diffusion.n_timesteps:
+            # linspace spacing < 1 would round to duplicate grid entries,
+            # making the eps* denominator zero (NaN targets)
+            raise ValueError(
+                f"num_student_steps ({config.num_student_steps}) must not "
+                f"exceed n_timesteps ({diffusion.n_timesteps})"
+            )
         self.grid = student_ddim_grid(
             diffusion.n_timesteps, config.num_student_steps
         )
