@@ -55,6 +55,18 @@ conv_bias_init = nn.initializers.constant(0.01)
 FMAP_CHANNELS = (64, 64, 128, 256, 512)
 
 
+
+def _heads_for(n_heads: int, channels: int, attn_head_dim) -> int:
+    """TPU-first optional head capping (same knob as the flagship,
+    models/unet.py): with ``attn_head_dim`` set, cap the head count so
+    head_dim >= attn_head_dim — the MXU contracts over 128 lanes and
+    small head dims pad away throughput. Parameter shapes are unchanged
+    (the qkv projection is 3C regardless of head count); ``None``
+    preserves exact reference head counts."""
+    if attn_head_dim is None:
+        return n_heads
+    return min(n_heads, max(1, channels // attn_head_dim))
+
 class BasicBlock(nn.Module):
     """ResNet-18 BasicBlock: 3x3 conv -> BN -> ReLU -> 3x3 conv -> BN,
     with a 1x1-conv downsample on the shortcut when stride != 1."""
@@ -125,6 +137,7 @@ class Encoder(nn.Module):
     num_classes: Optional[int] = None
     block_layers: Sequence[int] = (2, 2, 2, 2)
     use_attention_ffn: bool = False  # clean-app (g3) adds a FFN, src/unet.py:92-97
+    attn_head_dim: Optional[int] = None  # TPU-first head capping (see _heads_for)
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -172,7 +185,7 @@ class Encoder(nn.Module):
 
         def attn(channels, name):
             return ImageSelfAttention(
-                n_heads=self.n_heads,
+                n_heads=_heads_for(self.n_heads, channels, self.attn_head_dim),
                 use_ffn=self.use_attention_ffn,
                 dtype=self.dtype,
                 name=name,
@@ -247,6 +260,7 @@ class DecoderBlock(nn.Module):
     use_attention_ffn: bool = False
     final: bool = False  # final block: no 2nd norm, Identity activation
     n_heads: int = 4
+    attn_head_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -296,7 +310,9 @@ class DecoderBlock(nn.Module):
             out = out + t_emb[:, None, None, :]
             if self.compute_attn:
                 out = ImageSelfAttention(
-                    n_heads=self.n_heads,
+                    n_heads=_heads_for(
+                        self.n_heads, out.shape[-1], self.attn_head_dim
+                    ),
                     use_ffn=self.use_attention_ffn,
                     dtype=self.dtype,
                     name="attn",
@@ -317,6 +333,7 @@ class Decoder(nn.Module):
     first_fmap_channels: int = 64
     n_heads: int = 4
     use_attention_ffn: bool = False
+    attn_head_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -336,6 +353,7 @@ class Decoder(nn.Module):
                 compute_attn=True,
                 use_attention_ffn=self.use_attention_ffn,
                 n_heads=self.n_heads,
+                attn_head_dim=self.attn_head_dim,
                 dtype=self.dtype,
                 name=f"residual_{i}",
             )
@@ -368,6 +386,10 @@ class DiffusionNet(nn.Module):
     n_heads: int = 4
     num_classes: Optional[int] = None
     use_attention_ffn: bool = False
+    # TPU-first optional head capping (None = exact reference parity);
+    # parameter shapes are head-count independent, so a trained/imported
+    # checkpoint runs unchanged with any setting
+    attn_head_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -387,6 +409,7 @@ class DiffusionNet(nn.Module):
             n_heads=self.n_heads,
             num_classes=self.num_classes,
             use_attention_ffn=self.use_attention_ffn,
+            attn_head_dim=self.attn_head_dim,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             name="encoder",
@@ -396,6 +419,7 @@ class DiffusionNet(nn.Module):
             time_embedding=self.time_embedding,
             n_heads=self.n_heads,
             use_attention_ffn=self.use_attention_ffn,
+            attn_head_dim=self.attn_head_dim,
             dtype=self.dtype,
             name="decoder",
         )(*fmaps, t=t)

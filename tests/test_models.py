@@ -114,3 +114,28 @@ class TestDiffusionNet:
         t = jnp.array([4])
         variables = model.init(jax.random.key(0), x, t)
         assert model.apply(variables, x, t).shape == (1, size, size, 2)
+
+
+def test_danra_attn_head_dim_capping_preserves_params():
+    """The TPU-first head-capping knob (attn_head_dim) must not change
+    the parameter tree — a trained/imported checkpoint runs under any
+    setting (qkv projections are head-count independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusionmodelscustom_tpu.models import DiffusionNet
+
+    m0 = DiffusionNet(output_channels=1, time_embedding=32, n_heads=4)
+    m1 = DiffusionNet(
+        output_channels=1, time_embedding=32, n_heads=4, attn_head_dim=128
+    )
+    x = jnp.zeros((1, 32, 32, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    v0 = m0.init(jax.random.key(0), x, t)
+    v1 = m1.init(jax.random.key(0), x, t)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a.shape == b.shape, v0, v1)
+    )
+    out = m1.apply(v0, x, t, train=False)
+    assert out.shape == (1, 32, 32, 1)
+    assert bool(jnp.isfinite(out).all())
