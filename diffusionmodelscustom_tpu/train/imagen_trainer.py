@@ -13,9 +13,12 @@ Rebuild of ``ImagenTrainer`` (CascadedDDPM/trainer.py:293-1066):
 * checkpointing of the full per-unet state via utils/checkpoint.py
   (trainer.py:755-890).
 
-Distribution: instead of Accelerate/DDP (trainer.py:352-358), shard the
-image batch on the mesh ``data`` axis before calling ``train_step`` and
-XLA emits the gradient collectives.
+Distribution: instead of Accelerate/DDP (trainer.py:352-358), pass a
+``jax.sharding.Mesh`` at construction. Per-unet states are placed with
+the fsdp rule (parallel/sharding.py), batches (images + text arrays) are
+sharded on the ``data`` axis inside ``train_step``, and XLA emits the
+gradient all-reduce / all-gather collectives — the SPMD equivalent of
+the reference's bucketed NCCL all-reduce (trainer.py:1060-1066).
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.imagen.cascade import Imagen
+from ..parallel.sharding import batch_sharding, state_sharding
 from .optim import make_optimizer, warmup_cosine_schedule
 from .state import TrainState
 
@@ -67,10 +71,18 @@ class ImagenTrainer:
         config: ImagenTrainerConfig = ImagenTrainerConfig(),
         *,
         text_embed_dim: Optional[int] = None,
+        mesh: Optional["jax.sharding.Mesh"] = None,
+        fsdp_min_size: int = 2**14,
     ):
         self.imagen = imagen
         self.config = config
         self.text_embed_dim = text_embed_dim
+        # SPMD: states live fsdp-sharded on the mesh, batches shard on
+        # ``data`` — replaces the reference's Accelerate DDP wrap
+        # (trainer.py:352-358)
+        self.mesh = mesh
+        self.fsdp_min_size = fsdp_min_size
+        self._state_shardings: Dict[int, Any] = {}
         self.states: Dict[int, TrainState] = {}
         self._train_steps: Dict[int, Any] = {}
         self.num_unets = len(imagen.unets)
@@ -125,8 +137,36 @@ class ImagenTrainer:
             use_ema=self.config.use_ema,
             ema_decay=self.config.ema_decay,
         )
+        state = self._place(idx, state)
         self.states[idx] = state
         return state
+
+    def _place(self, idx: int, state: TrainState) -> TrainState:
+        """Device_put a state onto its mesh sharding (no-op without a
+        mesh). Shardings are cached per stage for the jitted step's
+        out_shardings."""
+        if self.mesh is None:
+            return state
+        if idx not in self._state_shardings:
+            self._state_shardings[idx] = state_sharding(
+                self.mesh, state, min_size=self.fsdp_min_size
+            )
+        sh = self._state_shardings[idx]
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s) if hasattr(x, "shape") else x,
+            state,
+            sh,
+        )
+
+    def _shard_batch_arrays(self, *arrays):
+        """Shard batch-leading arrays on the mesh ``data`` axis (None
+        passes through)."""
+        if self.mesh is None:
+            return arrays
+        s = batch_sharding(self.mesh)
+        return tuple(
+            jax.device_put(a, s) if a is not None else None for a in arrays
+        )
 
     def num_steps_taken(self, unet_number: int) -> int:
         idx = unet_number - 1
@@ -154,6 +194,14 @@ class ImagenTrainer:
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             return state.apply_gradients(grads=grads), loss
 
+        if self.mesh is not None and idx in self._state_shardings:
+            # pin the updated state to the same fsdp layout (XLA emits the
+            # grad reduce-scatter / param all-gather from these shardings)
+            return jax.jit(
+                step_fn,
+                donate_argnums=(0,),
+                out_shardings=(self._state_shardings[idx], None),
+            )
         return jax.jit(step_fn, donate_argnums=(0,))
 
     # -- managed dataloaders (trainer.py:682-711) ---------------------------
@@ -219,6 +267,9 @@ class ImagenTrainer:
         idx = unet_number - 1
         rng = jax.random.key(0) if rng is None else rng
         state = self.init_unet(unet_number, rng)
+        images, text_embeds, text_mask = self._shard_batch_arrays(
+            images, text_embeds, text_mask
+        )
         if idx not in self._train_steps:
             self._train_steps[idx] = self._build_train_step(idx)
         new_state, loss = self._train_steps[idx](
@@ -249,6 +300,9 @@ class ImagenTrainer:
         idx = unet_number - 1
         rng = jax.random.key(1) if rng is None else rng
         state = self.init_unet(unet_number, rng)
+        images, text_embeds, text_mask = self._shard_batch_arrays(
+            images, text_embeds, text_mask
+        )
         loss = self.imagen.p_losses(
             idx,
             {"params": state.params},
@@ -290,10 +344,19 @@ class ImagenTrainer:
         cache_key = (tuple(sorted(static.items())), tuple(sorted(arrays)))
         fn = self._sample_jits.get(cache_key)
         if fn is None:
+            jit_kw = {}
+            if self.mesh is not None:
+                # sampled batch sharded on ``data``: the whole cascade walk
+                # (every stage's scan) runs SPMD over the mesh
+                jit_kw["out_shardings"] = batch_sharding(self.mesh)
             fn = jax.jit(
-                lambda p, r, **akw: self.imagen.sample(p, r, **static, **akw)
+                lambda p, r, **akw: self.imagen.sample(p, r, **static, **akw),
+                **jit_kw,
             )
             self._sample_jits[cache_key] = fn
+        if arrays:
+            shards = self._shard_batch_arrays(*arrays.values())
+            arrays = dict(zip(arrays.keys(), shards))
         return fn(params_list, rng, **arrays)
 
     # -- persistence ---------------------------------------------------------
@@ -306,52 +369,46 @@ class ImagenTrainer:
         for key, s in states.items():
             self.states[int(key)] = s
 
-    def save_to_checkpoint_folder(self, folder=None) -> "Path":
+    def save_to_checkpoint_folder(self, folder=None) -> str:
         """Write ``<folder>/ckpt_<steps>/unet<N>`` for every initialized
         stage and rotate old checkpoints down to ``max_checkpoints_keep``
-        (trainer.py:712-753's checkpoint_every/max_checkpoints_keep)."""
-        import shutil
-        from pathlib import Path
+        (trainer.py:712-753's checkpoint_every/max_checkpoints_keep).
+        ``folder`` may be a local path or any fsspec URL (``memory://``,
+        ``gs://`` … — trainer.py:329-336's fsspec folder support)."""
+        from ..utils.checkpoint import FolderFS, save_pytree
 
-        from ..utils.checkpoint import save_pytree
-
-        folder = Path(folder or self.config.checkpoint_path)
-        folder.mkdir(parents=True, exist_ok=True)
+        ffs = FolderFS(folder or self.config.checkpoint_path)
+        ffs.mkdirs()
         steps = max(
             (self.num_steps_taken(i + 1) for i in range(self.num_unets)),
             default=0,
         )
-        tag = folder / f"ckpt_{steps}"
+        tag = ffs.join(f"ckpt_{steps}")
         for i, state in self.states.items():
-            save_pytree(tag / f"unet{i + 1}", state)
-        ckpts = sorted(
-            (p for p in folder.glob("ckpt_*") if p.is_dir()),
-            key=lambda p: int(p.name.split("_")[1]),
-        )
+            save_pytree(FolderFS.child(tag, f"unet{i + 1}"), state)
+        ckpts = ffs.list_ckpts()
         while len(ckpts) > self.config.max_checkpoints_keep:
-            shutil.rmtree(ckpts.pop(0))
+            FolderFS.rmtree(ckpts.pop(0)[1])
         return tag
 
     def load_from_checkpoint_folder(
         self, folder=None, *, step: Optional[int] = None, missing_ok: bool = False
     ) -> bool:
         """Exact-state resume from the newest (or ``step``-tagged)
-        checkpoint in the rotation folder. Returns True when restored."""
-        from pathlib import Path
+        checkpoint in the rotation folder (local path or fsspec URL).
+        Returns True when restored."""
+        from ..utils.checkpoint import FolderFS
 
-        folder = Path(folder or self.config.checkpoint_path)
-        ckpts = sorted(
-            (p for p in folder.glob("ckpt_*") if p.is_dir()),
-            key=lambda p: int(p.name.split("_")[1]),
-        ) if folder.exists() else []
+        ffs = FolderFS(folder or self.config.checkpoint_path)
+        ckpts = ffs.list_ckpts()
         if step is not None:
-            ckpts = [p for p in ckpts if int(p.name.split("_")[1]) == step]
+            ckpts = [c for c in ckpts if c[0] == step]
         if not ckpts:
             if missing_ok:
                 return False
-            raise FileNotFoundError(f"no ckpt_* checkpoints under {folder}")
+            raise FileNotFoundError(f"no ckpt_* checkpoints under {ffs.folder}")
         # exact resume: no EMA promotion (that is a sampling-time choice)
-        load_imagen_from_checkpoint(ckpts[-1], self, use_ema=False)
+        load_imagen_from_checkpoint(ckpts[-1][1], self, use_ema=False)
         return True
 
 
@@ -365,26 +422,25 @@ def load_imagen_from_checkpoint(
     """Restore per-unet states saved as ``<dir>/unet<N>`` and optionally
     promote EMA weights into the live params (the reference's
     load_imagen_from_checkpoint EMA promotion, CascadedDDPM/utils.py:57-73).
-    Returns the trainer for chaining."""
-    from pathlib import Path
-
+    ``checkpoint_dir`` may be a local path or an fsspec URL. Returns the
+    trainer for chaining."""
     import jax as _jax
     import jax.numpy as _jnp
 
-    from ..utils.checkpoint import restore_pytree
+    from ..utils.checkpoint import FolderFS, restore_pytree
 
     rng = _jax.random.key(0) if rng is None else rng
     for i in range(trainer.num_unets):
         template = trainer.init_unet(i + 1, _jax.random.fold_in(rng, i))
-        path = Path(checkpoint_dir) / f"unet{i + 1}"
-        if not path.exists():
+        if not FolderFS.unet_exists(str(checkpoint_dir), f"unet{i + 1}"):
             continue
+        path = FolderFS.child(str(checkpoint_dir), f"unet{i + 1}")
         state = restore_pytree(
             path, _jax.tree_util.tree_map(_jnp.zeros_like, template)
         )
         if use_ema and state.ema_params is not None:
             state = state.replace(params=state.ema_params)
-        trainer.states[i] = state
+        trainer.states[i] = trainer._place(i, state)
     return trainer
 
 

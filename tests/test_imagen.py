@@ -399,6 +399,34 @@ class TestImagenTrainerPersistence:
         # EMA state survived too (not promoted on resume)
         assert resumed.states[0].ema_params is not None
 
+    def test_fsspec_checkpoint_rotation_and_resume(self):
+        """Checkpoint folders on a non-local fsspec filesystem
+        (memory://): rotation + kill-and-resume — the reference accepted
+        any fsspec URL for its checkpoint folder
+        (CascadedDDPM/trainer.py:329-336)."""
+        import uuid
+
+        url = f"memory://ckpts/{uuid.uuid4().hex}"
+        trainer = self._trainer(
+            url, checkpoint_every=1, max_checkpoints_keep=2
+        )
+        trainer.add_train_dataloader(self._batches())
+        for _ in range(5):
+            trainer.train_step(1, rng=jax.random.key(3))
+        from diffusionmodelscustom_tpu.utils.checkpoint import FolderFS
+
+        ckpts = FolderFS(url).list_ckpts()
+        assert [s for s, _ in ckpts] == [4, 5]  # rotated down to 2
+
+        p_before = jax.tree_util.tree_leaves(trainer.states[0].params)[0]
+        resumed = self._trainer(url)  # fresh trainer on the same URL
+        assert resumed.num_steps_taken(1) == 5
+        p_after = jax.tree_util.tree_leaves(resumed.states[0].params)[0]
+        np.testing.assert_allclose(
+            np.asarray(p_before), np.asarray(p_after), rtol=1e-6
+        )
+        assert resumed.states[0].ema_params is not None
+
     def test_only_train_unet_lock(self):
         unets = [tiny_unet(), tiny_unet(lowres=True)]
         cascade = Imagen(unets=unets, image_sizes=(8, 16), channels=3, timesteps=10)

@@ -201,6 +201,115 @@ def test_sharded_sampling_matches_single_device():
     )
 
 
+def _tiny_cascade(text_dim=32):
+    """Two-stage text-conditional Imagen cascade at toy dims (mirrors
+    tests/test_imagen.py fixtures)."""
+    from diffusionmodelscustom_tpu.models.imagen import Imagen, ImagenUNet
+
+    def unet(lowres):
+        return ImagenUNet(
+            dim=16,
+            dim_mults=(1, 2),
+            channels=3,
+            text_embed_dim=text_dim,
+            num_resnet_blocks=1,
+            layer_attns=(False, True),
+            layer_cross_attns=(False, True),
+            attn_heads=2,
+            lowres_cond=lowres,
+            learned_sinu_dim=8,
+        )
+
+    return Imagen(
+        unets=[unet(False), unet(True)],
+        image_sizes=(8, 16),
+        channels=3,
+        timesteps=10,
+        cond_drop_prob=0.1,
+    )
+
+
+def _cascade_batch(b=8, text_dim=32):
+    return (
+        jax.random.uniform(jax.random.key(0), (b, 16, 16, 3)),
+        jax.random.normal(jax.random.key(9), (b, 4, text_dim)),
+        jnp.ones((b, 4), bool),
+    )
+
+
+def test_sharded_cascade_train_step_matches_single_device():
+    """The reference's only working distributed path was the ImagenTrainer
+    Accelerate DDP wrap (CascadedDDPM/trainer.py:352-358, gradient
+    allreduce :1060-1066). Here the mesh-constructed trainer must produce
+    the same losses/params as the single-device one on both cascade
+    stages."""
+    from diffusionmodelscustom_tpu.train.imagen_trainer import (
+        ImagenTrainer,
+        ImagenTrainerConfig,
+    )
+
+    images, te, tm = _cascade_batch()
+    cfg = ImagenTrainerConfig(use_ema=True)
+
+    single = ImagenTrainer(_tiny_cascade(), cfg, text_embed_dim=32)
+    mesh = make_mesh(8, 1)
+    sharded = ImagenTrainer(_tiny_cascade(), cfg, text_embed_dim=32, mesh=mesh)
+
+    for unet_number in (1, 2):
+        rng = jax.random.key(unet_number)
+        l_single = single.train_step(
+            unet_number, images, text_embeds=te, text_mask=tm, rng=rng
+        )
+        l_sharded = sharded.train_step(
+            unet_number, images, text_embeds=te, text_mask=tm, rng=rng
+        )
+        np.testing.assert_allclose(l_single, l_sharded, rtol=1e-5)
+        p1 = jax.tree_util.tree_leaves(single.states[unet_number - 1].params)[0]
+        p2 = jax.tree_util.tree_leaves(sharded.states[unet_number - 1].params)[0]
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_fsdp_cascade_train_and_sample():
+    """data x model mesh: cascade params fsdp-sharded, one step runs, and
+    the jitted EMA cascade sampling walk executes with the output sharded
+    on ``data``."""
+    from diffusionmodelscustom_tpu.train.imagen_trainer import (
+        ImagenTrainer,
+        ImagenTrainerConfig,
+    )
+
+    images, te, tm = _cascade_batch()
+    mesh = make_mesh(4, 2)
+    trainer = ImagenTrainer(
+        _tiny_cascade(),
+        ImagenTrainerConfig(use_ema=True),
+        text_embed_dim=32,
+        mesh=mesh,
+        fsdp_min_size=0,
+    )
+    for unet_number in (1, 2):
+        loss = trainer.train_step(
+            unet_number, images, text_embeds=te, text_mask=tm,
+            rng=jax.random.key(5),
+        )
+        assert np.isfinite(loss)
+    specs = [
+        str(x.sharding.spec)
+        for x in jax.tree_util.tree_leaves(trainer.states[0].params)
+    ]
+    assert any("model" in s for s in specs), "no fsdp-sharded param leaf"
+
+    te4, tm4 = te[:4], tm[:4]
+    out = trainer.sample(
+        jax.random.key(6), batch_size=4, text_embeds=te4, text_mask=tm4
+    )
+    assert out.shape == (4, 16, 16, 3)
+    assert "data" in str(out.sharding.spec)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_spatial_sharded_sampling_matches_single_device():
     """Full-domain generation story: the ENTIRE fused sampling scan runs
     with the image height sharded over the model axis (XLA inserting conv
