@@ -27,7 +27,7 @@ from the 4.78 TFLOP batch-32 train step = fwd+bwd+opt ~= 3x fwd).
 vs_baseline = measured / ref_sps. A same-host torch-eager vs jax-jit
 head-to-head (scripts/bench_reference_torch.py -> BENCH_REFERENCE.json)
 is published alongside as the fully-measured "both sides" record —
-note it currently favours torch on CPU (MKL), which is reported as-is.
+re-measured at parity (sampling ratio 1.005, train 0.913; BASELINE.md).
 """
 
 from __future__ import annotations

@@ -13,6 +13,7 @@ from .geo import (
     preprocess_lsm_topography,
     preprocess_lsm_topography_from_data,
 )
+from .evalset import build_matched_eval_set, match_dates, season_counts
 from .pipeline import prefetch_to_device
 from .store import (
     DirectoryStore,
@@ -30,6 +31,9 @@ from .synthetic import (
 
 __all__ = [
     "BatchLoader",
+    "build_matched_eval_set",
+    "match_dates",
+    "season_counts",
     "ImageFolderDataset",
     "ImagenCollator",
     "ImagenLoader",

@@ -7,10 +7,13 @@ come from an InceptionV3 trained on ImageNet — meaningless for 1-channel
 climate fields and unavailable in a zero-egress image — so the feature
 extractor is pluggable:
 
-* ``feature_fn=None`` uses a deterministic random-projection + nonlinearity
-  feature bank (a randomly-initialized CNN is a valid FID feature space;
-  random features preserve distributional distances in expectation), which
-  makes the statistic reproducible and dependency-free;
+* ``feature_fn=None`` uses a small fixed-weight CNN whose weights are
+  SHIPPED IN-REPO (``fid_weights.npz``), so FID values are stable across
+  runs and machines (a randomly-initialized CNN is a valid FID feature
+  space; freezing one set of weights makes the statistic a constant of
+  the codebase rather than of the process);
+* ``random_projection_features`` remains as the dependency-light
+  fallback;
 * any callable (N, H, W[, C]) -> (N, D) can be passed instead — e.g. a
   trained encoder's bottleneck, or true Inception features when torch
   weights are cached.
@@ -18,9 +21,12 @@ extractor is pluggable:
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Callable, Optional
 
 import numpy as np
+
+_WEIGHTS_FILE = Path(__file__).parent / "fid_weights.npz"
 
 
 def frechet_distance(
@@ -70,6 +76,76 @@ def random_projection_features(
     return np.concatenate([lin[:, : dim // 2], np.tanh(lin[:, dim // 2 :])], 1)
 
 
+def make_feature_net_weights(seed: int = 7, path: Optional[Path] = None) -> dict:
+    """Generate (and optionally persist) the fixed feature-net weights.
+
+    Three stride-2 conv layers 1->16->32->64 with He-scaled filters. Run
+    once to create ``fid_weights.npz``; the committed file — not this
+    function — defines the metric."""
+    rng = np.random.default_rng(seed)
+
+    def he(shape):
+        fan_in = int(np.prod(shape[:-1]))
+        return (rng.standard_normal(shape) * np.sqrt(2.0 / fan_in)).astype(
+            np.float32
+        )
+
+    weights = {
+        "conv1": he((5, 5, 1, 16)),
+        "conv2": he((3, 3, 16, 32)),
+        "conv3": he((3, 3, 32, 64)),
+    }
+    if path is not None:
+        np.savez(path, **weights)
+    return weights
+
+
+_CNN_CACHE: dict = {}
+
+
+def pretrained_cnn_features(
+    images: np.ndarray, weights_path: Optional[Path] = None
+) -> np.ndarray:
+    """Fixed-weight CNN features: (N, H, W[, C]) -> (N, 128).
+
+    Multi-channel inputs are averaged to one channel (climate fields are
+    single-variable); each conv is stride-2 with ReLU; the head is global
+    mean+std pooling over the last feature map (128 dims). Weights load
+    once from the in-repo ``fid_weights.npz``."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    weights_path = Path(weights_path or _WEIGHTS_FILE)
+    key = str(weights_path)
+    if key not in _CNN_CACHE:
+        with np.load(weights_path) as z:
+            w = {k: jnp.asarray(z[k]) for k in z.files}
+
+        @jax.jit
+        def forward(x):
+            for name in ("conv1", "conv2", "conv3"):
+                x = lax.conv_general_dilated(
+                    x,
+                    w[name],
+                    window_strides=(2, 2),
+                    padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                x = jnp.maximum(x, 0.0)
+            mean = jnp.mean(x, axis=(1, 2))
+            std = jnp.std(x, axis=(1, 2))
+            return jnp.concatenate([mean, std], axis=-1)
+
+        _CNN_CACHE[key] = forward
+    x = np.asarray(images, np.float32)
+    if x.ndim == 3:
+        x = x[..., None]
+    if x.shape[-1] != 1:
+        x = x.mean(axis=-1, keepdims=True)
+    return np.asarray(_CNN_CACHE[key](x), np.float64)
+
+
 def fid_from_features(feats_gen: np.ndarray, feats_ref: np.ndarray) -> float:
     mu1, cov1 = _fit_gaussian(np.asarray(feats_gen, np.float64))
     mu2, cov2 = _fit_gaussian(np.asarray(feats_ref, np.float64))
@@ -81,8 +157,17 @@ def fid(
     ref: np.ndarray,
     feature_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
 ) -> float:
-    """FID between two sample sets of fields (N, H, W[, C])."""
-    feature_fn = feature_fn or random_projection_features
+    """FID between two sample sets of fields (N, H, W[, C]).
+
+    Defaults to the in-repo fixed-weight CNN features when the shipped
+    weights file exists (stable, comparable values); otherwise the
+    random-projection bank."""
+    if feature_fn is None:
+        feature_fn = (
+            pretrained_cnn_features
+            if _WEIGHTS_FILE.exists()
+            else random_projection_features
+        )
     return fid_from_features(feature_fn(np.asarray(gen)), feature_fn(np.asarray(ref)))
 
 
@@ -91,4 +176,6 @@ __all__ = [
     "fid_from_features",
     "frechet_distance",
     "random_projection_features",
+    "pretrained_cnn_features",
+    "make_feature_net_weights",
 ]

@@ -350,3 +350,76 @@ class TestPerCutoutSDF:
         # left of the window changes those distances)
         full_crop = normalize_sdf(generate_sdf(lsm)[x1:x2, y1:y2])
         assert np.abs(want - full_crop).max() > 1e-3
+
+
+class TestMatchedEvalSet:
+    """Date-matched ERA5/DANRA eval-set builder
+    (generation_DANRA_conditional.py:45-175 parity)."""
+
+    def _make_dirs(self, tmp_path):
+        era5 = tmp_path / "era5"
+        danra = tmp_path / "danra"
+        era5.mkdir()
+        danra.mkdir()
+        # overlapping dates 2001-01-01..2001-01-10; one date only in each
+        # archive; one out-of-window year; one undated junk file
+        for d in range(1, 11):
+            date = f"200101{d:02d}"
+            np.savez(era5 / f"temp_589x789_{date}.npz", data=np.full((4, 4), d, np.float32))
+            if d != 5:  # 20010105 missing on the DANRA side
+                np.savez(danra / f"t2m_ave_{date}.npz", data=np.full((4, 4), -d, np.float32))
+        np.savez(era5 / "temp_589x789_19990101.npz", data=np.zeros((4, 4), np.float32))
+        np.savez(danra / "t2m_ave_20010711.npz", data=np.zeros((4, 4), np.float32))
+        (era5 / ".DS_Store").write_bytes(b"junk")
+        return era5, danra
+
+    def test_match_and_sample(self, tmp_path):
+        from diffusionmodelscustom_tpu.data import build_matched_eval_set
+
+        era5, danra = self._make_dirs(tmp_path)
+        summary = build_matched_eval_set(
+            era5, danra, tmp_path / "out", n_samples=5, seed=42
+        )
+        assert summary["n_matched"] == 9  # 10 minus the one-sided 20010105
+        assert summary["dropped_era5_only"] == [20010105]
+        assert summary["dropped_danra_only"] == [20010711]
+        assert len(summary["dates"]) == 5
+        assert summary["dates"] == sorted(summary["dates"])
+        assert all(d // 10000 == 2001 for d in summary["dates"])
+        # season tally covers exactly the selected dates
+        assert sum(summary["season_counts"].values()) == 5
+        assert summary["season_counts"]["winter"] == 5  # all January
+
+    def test_paired_files_and_stores(self, tmp_path):
+        from diffusionmodelscustom_tpu.data import build_matched_eval_set
+        from diffusionmodelscustom_tpu.data import open_group
+
+        era5, danra = self._make_dirs(tmp_path)
+        summary = build_matched_eval_set(
+            era5, danra, tmp_path / "out", n_samples=4, seed=0
+        )
+        # both eval dirs hold the SAME dates, pairwise
+        import os
+        from diffusionmodelscustom_tpu.data.evalset import parse_file_date
+
+        e_dates = sorted(
+            parse_file_date(f) for f in os.listdir(summary["eval_dirs"]["era5"])
+        )
+        d_dates = sorted(
+            parse_file_date(f) for f in os.listdir(summary["eval_dirs"]["danra"])
+        )
+        assert e_dates == d_dates == summary["dates"]
+        # stores are readable and carry the day's field
+        g = open_group(summary["stores"]["era5"])
+        first = sorted(g.keys())[0]
+        day = parse_file_date(first) % 100
+        np.testing.assert_allclose(np.asarray(g[first]["data"]), day)
+
+    def test_fallback_when_too_few(self, tmp_path):
+        from diffusionmodelscustom_tpu.data import build_matched_eval_set
+
+        era5, danra = self._make_dirs(tmp_path)
+        summary = build_matched_eval_set(
+            era5, danra, tmp_path / "out", n_samples=500, make_stores=False
+        )
+        assert len(summary["dates"]) == 9  # all matched dates, ref :100-104

@@ -136,6 +136,44 @@ class TestFID:
         want = 9.0 * dim + (np.sqrt(a) - np.sqrt(b)) ** 2 * dim
         np.testing.assert_allclose(d, want, rtol=1e-6)
 
+    def test_fixed_weight_cnn_features_default_and_stable(self):
+        """The shipped fid_weights.npz makes FID a constant of the
+        codebase: weights load offline, fid(gen,gen)~0, monotone under
+        noise, and identical across processes (VERDICT r1 item 10)."""
+        from diffusionmodelscustom_tpu.evaluation.fid import (
+            _WEIGHTS_FILE,
+            fid,
+            pretrained_cnn_features,
+        )
+
+        assert _WEIGHTS_FILE.exists(), "fid_weights.npz must ship in-repo"
+        rng = np.random.default_rng(3)
+        gen = rng.standard_normal((64, 32, 32))
+        assert abs(fid(gen, gen.copy())) < 1e-6
+        vals = [
+            fid(gen + rng.standard_normal(gen.shape) * s, gen)
+            for s in (0.1, 0.5, 2.0)
+        ]
+        assert vals[0] < vals[1] < vals[2]
+        # deterministic: two independent featurizations agree exactly
+        f1 = pretrained_cnn_features(gen)
+        f2 = pretrained_cnn_features(gen.copy())
+        np.testing.assert_array_equal(f1, f2)
+        assert f1.shape == (64, 128)
+
+    def test_fixed_weights_match_generator(self):
+        """The committed file equals make_feature_net_weights(seed=7) —
+        documents provenance of the shipped weights."""
+        from diffusionmodelscustom_tpu.evaluation.fid import (
+            _WEIGHTS_FILE,
+            make_feature_net_weights,
+        )
+
+        want = make_feature_net_weights(seed=7)
+        with np.load(_WEIGHTS_FILE) as z:
+            for k, v in want.items():
+                np.testing.assert_array_equal(z[k], v)
+
     def test_custom_feature_fn(self):
         from diffusionmodelscustom_tpu.evaluation.fid import fid
 
