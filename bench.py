@@ -208,8 +208,25 @@ def bench_cascade():
     dt = time.perf_counter() - t0
     sps = batch / dt
     log(f"cascade: {dt:.2f}s -> {sps:.3f} samples/s/chip (64->128, EDM 32 steps)")
-    # cascade FLOPs/sample: 32 sigma steps x ~2 Heun evals x (base + SR fwd)
-    cascade_flops = 32 * 2 * (25e9 + 15e9)
+    # FLOP-exact projection: per-sample work measured from XLA's own cost
+    # analysis of the two stage forwards (round-1's hand constant 40 GF
+    # undercounted by ~2.4x and made the cascade look like 8 TF/s;
+    # scripts/probe_cascade_r4.py re-measured the truth at ~77 TF/s).
+    per_fwd = 0.0
+    for idx, unet in enumerate(cascade.unets):
+        kw = dict(text_embeds=te, text_mask=tm)
+        x = jnp.zeros((batch, cascade.image_sizes[idx],
+                       cascade.image_sizes[idx], 3))
+        if idx > 0:
+            kw.update(lowres_cond_img=jnp.zeros_like(x),
+                      lowres_noise_cond=jnp.zeros((batch,)))
+        fwd = lambda xx: unet.apply(params[idx], xx, jnp.zeros((batch,)), **kw)
+        cost = jax.jit(fwd).lower(x).compile().cost_analysis()
+        per_fwd += float(cost.get("flops", 0.0))
+    evals = 2 * 32 - 1  # Heun: 2 evals/step, 1 on the last
+    cascade_flops = evals * per_fwd / batch
+    log(f"measured cascade FLOPs/sample: {cascade_flops/1e9:.1f} GF "
+        f"({per_fwd/1e9:.1f} GF/eval-pair at batch {batch})")
     ref_sps = A100_BF16_PEAK * REF_UTIL / cascade_flops
     emit("imagen_cascade_edm32_64to128", sps, "samples/sec/chip", sps / ref_sps)
 

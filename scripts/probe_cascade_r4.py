@@ -54,10 +54,17 @@ def chain_time(fn, x, n=8, depends=True):
         c, _ = jax.lax.scan(body, x0, None, length=n)
         return c
 
+    # the axon remote runtime stalls ~55-70 ms on the first timed
+    # execution of a fresh (executable, buffer) pair -- warm twice and
+    # take the min of 3 timed repeats (see probe_attn_ops findings)
     sync(chained(x))
-    t0 = time.perf_counter()
-    sync(chained(x * 1.0001))
-    return (time.perf_counter() - t0) / n * 1e3
+    best = float("inf")
+    for rep in range(3):
+        xin = x * (1.0 + 1e-4 * (rep + 1))
+        t0 = time.perf_counter()
+        sync(chained(xin))
+        best = min(best, (time.perf_counter() - t0) / n * 1e3)
+    return best
 
 
 def unet_defs(batch):
