@@ -173,9 +173,10 @@ class ConditionalUNet(nn.Module):
     attention_levels_up: Sequence[int] = (2, 1, 0)
     interp_mode: str = "bicubic"  # LR-cond upsample (src/unet_ms.py:156)
     dtype: jnp.dtype = jnp.float32
-    # Serving-only: dynamic int8 compute for the wide (>=128ch) convs —
-    # 1.47x on the v5e int8 MXU path (ops/quantized_conv.py). Approximate;
-    # keep False for training and for exact-parity sampling.
+    # Serving-only: dynamic int8 compute for the wide (>=128ch) convs
+    # (1.47x on the v5e int8 MXU path, ops/quantized_conv.py) AND for the
+    # attention QK logit matmuls (ops/flash_attention.py int8 kernel).
+    # Approximate; keep False for training and exact-parity sampling.
     conv_quant: bool = False
 
     @nn.compact
@@ -246,6 +247,7 @@ class ConditionalUNet(nn.Module):
                 h = ImageSelfAttention(
                     n_heads=heads_for(h.shape[-1]),
                     use_ffn=True,
+                    qk_int8=self.conv_quant,
                     dtype=self.dtype,
                     name=f"sa_down{i}",
                 )(h)
@@ -270,6 +272,7 @@ class ConditionalUNet(nn.Module):
                 h = ImageSelfAttention(
                     n_heads=heads_for(h.shape[-1]),
                     use_ffn=True,
+                    qk_int8=self.conv_quant,
                     dtype=self.dtype,
                     name=f"sa_up{i + 1}",
                 )(h)

@@ -32,11 +32,18 @@ def attention_core(
     v: jnp.ndarray,
     *,
     use_flash: Optional[bool] = None,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention. q/k/v: (B, S, H, D) -> (B, S, H, D).
 
     ``use_flash=None`` auto-selects the Pallas kernel on TPU backends.
+    ``qk_int8`` routes through the serving-only dynamic-int8 QK path
+    (ops/flash_attention.py) on any backend.
     """
+    if qk_int8:
+        from .flash_attention import _qk_int8_attention, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K
+
+        return _qk_int8_attention(q, k, v, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
     if use_flash:
@@ -60,6 +67,7 @@ class MultiHeadSelfAttention(nn.Module):
 
     n_heads: int
     use_flash: Optional[bool] = None
+    qk_int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,7 +80,9 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(b, s, self.n_heads, head_dim)
         k = k.reshape(b, s, self.n_heads, head_dim)
         v = v.reshape(b, s, self.n_heads, head_dim)
-        out = attention_core(q, k, v, use_flash=self.use_flash)
+        out = attention_core(
+            q, k, v, use_flash=self.use_flash, qk_int8=self.qk_int8
+        )
         out = out.reshape(b, s, c)
         return nn.Dense(c, dtype=self.dtype, name="out")(out)
 
@@ -89,6 +99,7 @@ class ImageSelfAttention(nn.Module):
     n_heads: int
     use_ffn: bool = False
     use_flash: Optional[bool] = None
+    qk_int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -97,7 +108,11 @@ class ImageSelfAttention(nn.Module):
         tokens = x.reshape(b, h * w, c)
         normed = nn.LayerNorm(dtype=self.dtype, name="ln")(tokens)
         attn = MultiHeadSelfAttention(
-            self.n_heads, use_flash=self.use_flash, dtype=self.dtype, name="mha"
+            self.n_heads,
+            use_flash=self.use_flash,
+            qk_int8=self.qk_int8,
+            dtype=self.dtype,
+            name="mha",
         )(normed)
         out = attn + tokens
         if self.use_ffn:

@@ -307,6 +307,169 @@ def _reference_attention(q, k, v):
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
+# ---------------------------------------------------------------- int8 QK
+# Serving-mode QK quantization: the v5e MXU runs int8 at 2x the bf16 rate
+# (394 vs 197 TOPS); the logit matmul is half the attention FLOPs. Dynamic
+# symmetric per-(batch*head) quantization, same zero-calibration scheme as
+# ops/quantized_conv.py; softmax statistics stay f32, PV stays bf16.
+
+
+def _quantize_rows(x: jnp.ndarray):
+    """(BH, S, D) float -> (int8, f32 scale (BH, 1)) per-slab symmetric."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[:, None, None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale.reshape(-1, 1)
+
+
+def _flash_kernel_i8(
+    q_ref, k_ref, v_ref, sc_ref, o_ref, m_scr, l_scr, acc_scr
+):
+    """int8-QK forward: logits accumulate in int32 on the MXU and are
+    dequantized by the per-slab combined scale (s_q * s_k * sm_scale *
+    log2e, precomputed outside). Same online softmax as _flash_kernel;
+    no LSE output (the int8 path is serving-only, no backward)."""
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (BQ, D) int8
+    k = k_ref[0]  # (BK, D) int8
+    v = v_ref[0]  # (BK, D) bf16/f32
+    sc = sc_ref[0, 0, 0]  # f32 combined dequant scale (base-2 domain)
+
+    s2 = sc * jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+    m_prev = m_scr[:]
+    l_prev = l_scr[:]
+    m_cur = jnp.max(s2, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp2(s2 - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def _flash_bhsd_i8(q, k, v, block_q: int, block_k: int):
+    """int8-QK flash forward on (BH, S, D) float slabs."""
+    bh, s, d = q.shape
+    sm_scale = d ** -0.5
+    qi, sq = _quantize_rows(q)
+    ki, sk = _quantize_rows(k)
+    # combined scale per slab, already in the base-2 softmax domain
+    sc = (sq * sk * (sm_scale * _LOG2_E)).astype(jnp.float32)  # (BH, 1)
+    sc = sc.reshape(bh, 1, 1)  # 3D so the (1,1,1) block satisfies the
+    # TPU block-shape rule (last two dims equal the array's)
+
+    d_pad = max(128, ((d + 127) // 128) * 128)
+    if d_pad != d:
+        pad = [(0, 0), (0, 0), (0, d_pad - d)]
+        qi, ki = (jnp.pad(x, pad) for x in (qi, ki))
+        v = jnp.pad(v, pad)
+
+    grid = (bh, s // block_q, s // block_k)
+    out = pl.pallas_call(
+        _flash_kernel_i8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i, j, kb: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, kb: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d_pad), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qi, ki, v, sc)
+    return out[:, :, :d]
+
+
+def _reference_attention_qk_int8(q, k, v):
+    """einsum path with int8 QK at the same per-(b,h) granularity as the
+    kernel — the CPU-testable mirror of _flash_bhsd_i8."""
+    b, s, h, d = q.shape
+    to_slab = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    qi, sq = _quantize_rows(to_slab(q))
+    ki, sk = _quantize_rows(to_slab(k))
+    sc = (sq * sk * d ** -0.5).reshape(b, h, 1, 1)
+    logits = (
+        jax.lax.dot_general(
+            qi,
+            ki,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        .astype(jnp.float32)
+        .reshape(b, h, s, s)
+        * sc
+    )
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _qk_int8_attention(q, k, v, block_q, block_k):
+    b, s, h, d = q.shape
+    bq = min(block_q, s)
+    bk = min(block_k, s)
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and s % bq == 0
+        and s % bk == 0
+        and s >= 512
+    )
+    if not use_kernel:
+        return _reference_attention_qk_int8(q, k, v)
+    to_slab = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    out = _flash_bhsd_i8(to_slab(q), to_slab(k), to_slab(v), bq, bk)
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+def _qk_int8_fwd(q, k, v, block_q, block_k):
+    return _qk_int8_attention(q, k, v, block_q, block_k), None
+
+
+def _qk_int8_bwd(block_q, block_k, res, g):
+    raise NotImplementedError(
+        "qk_int8 attention is a serving-only op: differentiating through "
+        "the int8 quantizer would yield silent zero gradients. Train with "
+        "qk_int8=False and quantize for sampling."
+    )
+
+
+_qk_int8_attention.defvjp(_qk_int8_fwd, _qk_int8_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_slab(q, k, v, block_q: int, block_k: int):
     out, _lse = _flash_bhsd(q, k, v, block_q, block_k)
@@ -341,6 +504,7 @@ def flash_attention(
     v: jnp.ndarray,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Self-attention with (B, S, H, D) layout, fused on TPU.
 
@@ -350,8 +514,13 @@ def flash_attention(
     the einsum path when the sequence doesn't tile evenly (image token
     counts are powers of two in this workload, so 512+ maps always take
     the fused path).
+
+    ``qk_int8=True`` selects the serving-only dynamic-int8 QK kernel
+    (2x MXU rate on the logit matmul; raises on differentiation).
     """
     b, s, h, d = q.shape
+    if qk_int8:
+        return _qk_int8_attention(q, k, v, block_q, block_k)
     block_q = min(block_q, s)
     block_k = min(block_k, s)
     if s % block_q != 0 or s % block_k != 0 or s < 512:

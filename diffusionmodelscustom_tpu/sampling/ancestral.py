@@ -11,6 +11,12 @@ XLA pipelines the per-step elementwise math into the UNet epilogue.
 Semantics parity: iterate t = T-1 .. 1 (no t=0 step), zero injected noise
 at t == 1, CFG as lerp(uncond, cond, scale) when ``cfg_scale > 0``
 (src/diffusion_modules.py:156-160).
+
+``clip_denoised`` is a beyond-reference option: clamp the implied x0
+prediction to [-1, 1] each step (standard DDPM practice, Ho et al. 2020
+"clip_denoised"). The reference never clips — its published samples reach
+hundreds of degrees out of the physical range (PARITY.md yardstick,
+out-of-range fraction up to 0.104). Off by default for exact parity.
 """
 
 from __future__ import annotations
@@ -41,6 +47,21 @@ def _predict(
     return eps
 
 
+def _clip_eps(
+    diffusion: GaussianDiffusion,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    eps: jnp.ndarray,
+) -> jnp.ndarray:
+    """Re-express eps so the implied x0 lies in [-1, 1] (clip_denoised)."""
+    a_bar = diffusion.alpha_bar[t].reshape((-1,) + (1,) * (x.ndim - 1))
+    a_bar = a_bar.astype(x.dtype)
+    sqrt_ab = jnp.sqrt(a_bar)
+    sqrt_1mab = jnp.sqrt(1.0 - a_bar)
+    x0 = jnp.clip((x - sqrt_1mab * eps) / sqrt_ab, -1.0, 1.0)
+    return (x - sqrt_ab * x0) / sqrt_1mab
+
+
 def ancestral_sample(
     denoise_fn: DenoiseFn,
     diffusion: GaussianDiffusion,
@@ -50,13 +71,15 @@ def ancestral_sample(
     x_init: Optional[jnp.ndarray] = None,
     uncond_fn: Optional[DenoiseFn] = None,
     cfg_scale: float = 0.0,
+    clip_denoised: bool = False,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Full T-step ancestral sampling, fused into one scan.
 
     Matches DiffusionUtils.sample: x ~ N(0, I) (times noise_scale for the
     data_scaled variant), then T-1 reverse steps
-    (src/diffusion_modules.py:127-186).
+    (src/diffusion_modules.py:127-186). ``clip_denoised`` clamps the
+    implied x0 to [-1, 1] each step (off by default — see module doc).
     """
     rng_init, rng_loop = jax.random.split(rng)
     if x_init is None:
@@ -73,6 +96,8 @@ def ancestral_sample(
     def step(x, i):
         t = jnp.full((batch,), i, jnp.int32)
         eps = _predict(denoise_fn, uncond_fn, cfg_scale, x, t)
+        if clip_denoised:
+            eps = _clip_eps(diffusion, x, t, eps)
         step_rng = jax.random.fold_in(rng_loop, i)
         z = jax.random.normal(step_rng, x.shape, x.dtype) * jnp.asarray(
             diffusion.noise_scale, x.dtype

@@ -138,8 +138,16 @@ def main():
 
     from diffusionmodelscustom_tpu.data import prefetch_to_device
 
+    def cycle(dl):
+        """Epoch-cycling batch stream (the loader reshuffles per pass);
+        drops the cutout 'points' bookkeeping key the train step doesn't
+        take."""
+        while True:
+            for b in dl:
+                yield {k: v for k, v in b.items() if k != "points"}
+
     rng = jax.random.key(0)
-    it = iter(prefetch_to_device(loader, buffer_size=2))
+    it = iter(prefetch_to_device(cycle(loader), buffer_size=2))
     first = next(it)
     state = trainer.init_state(rng, first)
     # compile + warmup (2 steps so donation settles)

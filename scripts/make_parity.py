@@ -7,15 +7,20 @@ Protocol:
    (final_generated_samples/*.npz, the only reference outputs that exist)
    with the full metric suite (ocean-masked MAE/RMSE/bias, Moran's I,
    CRPS, Wasserstein-1, KS, FID, out-of-range fraction).
-2. Our side — train the flagship ConditionalUNet on the 100 real DANRA
-   eval fields of the ERA5-conditioned sdfweighted variant (the only real
-   DANRA data shipped; lsm/season/ERA5-cond included), sample 100 fields
-   with MATCHED conditioning through the same 800-step ancestral DDPM the
-   reference used, and score them against the same truth.
-   This is a small-data regime (100 fields) — the claim being validated is
-   distributional calibration of the full pipeline, not generalization.
+2. Our side — HELD-OUT protocol (round-2 VERDICT item 4): for each
+   variant, split its 100 real DANRA fields 80/20 (seeded permutation),
+   train the flagship ConditionalUNet on the 80 TRAIN fields only, then
+   sample all 100 fields with MATCHED conditioning through the same
+   800-step ancestral DDPM the reference used. Score two tables against
+   the same subsets of the truth (and the reference's own gen on the
+   identical indices): calibration (the 80 train fields) and held-out
+   (the 20 fields the model never saw). Still a small-data regime, but
+   the held-out table is a genuine generalization check.
 
-Run (TPU, ~5 min after compile cache is warm):
+Sampling uses ``clip_denoised`` (standard DDPM x0 clamping, off in the
+reference — its samples reach hundreds of degrees) — stated in PARITY.md.
+
+Run (TPU, ~10 min after compile cache is warm):
     nohup python scripts/make_parity.py > /tmp/parity.log 2>&1 &
 """
 
@@ -46,6 +51,7 @@ N_TIMESTEPS = 800  # the reference's T (ddpm_DANRA_conditional_wValid.py:198)
 TRAIN_STEPS = 12000  # round 3: 6000 -> 12000 closed the uniform variant's
 # out-of-range and Moran's-I gaps (same matched protocol otherwise)
 BATCH = 20
+N_TRAIN = 80  # held-out protocol: train on 80 of 100, score 80 + 20
 DATA_MIN, DATA_MAX = -15.0, 30.0  # Celsius scale range for [-1, 1]
 
 
@@ -125,12 +131,16 @@ def main():
         rng = jax.random.key(0)
         state = trainer.init_state(rng, {k: v[:BATCH] for k, v in batch_all.items()})
 
-        log(f"training {variant.split('__')[0]}...")
-        t0 = time.time()
         n = len(truth)
+        perm = np.random.default_rng(42).permutation(n)
+        train_idx = np.sort(perm[:N_TRAIN])
+        hold_idx = np.sort(perm[N_TRAIN:])
+        log(f"training {variant.split('__')[0]} on {len(train_idx)} fields "
+            f"({len(hold_idx)} held out)...")
+        t0 = time.time()
         order_rng = np.random.default_rng(0)
         for step in range(TRAIN_STEPS):
-            idx = order_rng.choice(n, BATCH, replace=False)
+            idx = train_idx[order_rng.choice(len(train_idx), BATCH, replace=False)]
             batch = {k: v[idx] for k, v in batch_all.items()}
             state, m = trainer.train_step(state, batch, jax.random.fold_in(rng, step))
             if step % 1000 == 0:
@@ -155,22 +165,29 @@ def main():
             out = ancestral_sample(
                 denoise, diffusion, jax.random.fold_in(jax.random.key(7), start),
                 (cb["img"].shape[0], 64, 64, 1),
+                clip_denoised=True,
             )
             gens.append(np.asarray(jax.device_get(out))[..., 0])
         log(f"sampled {n} in {time.time() - t0:.0f}s")
         gen = unscale(np.concatenate(gens))
 
-        card = parity_scorecard(gen, truth, lsm)
-        card["fid"] = fid(gen, truth)
-        log(f"[ours/{variant.split('__')[0]}] rmse={card['rmse']:.2f} "
-            f"w1={card['wasserstein1']:.2f} fid={card['fid']:.2f}")
-        return card
+        cards = {}
+        for split, idx in (("calibration", train_idx), ("heldout", hold_idx)):
+            card = parity_scorecard(gen[idx], truth[idx], lsm[idx])
+            card["fid"] = fid(gen[idx], truth[idx])
+            # the reference's own gen on the IDENTICAL indices
+            ref_card = parity_scorecard(b["gen"][idx], truth[idx], lsm[idx])
+            ref_card["fid"] = fid(b["gen"][idx], truth[idx])
+            cards[split] = {"ours": card, "ref": ref_card}
+            log(f"[ours/{variant.split('__')[0]}/{split}] "
+                f"rmse={card['rmse']:.2f} w1={card['wasserstein1']:.2f} "
+                f"fid={card['fid']:.2f} moran={card['morans_i_gen']:.3f} "
+                f"oor={card['frac_outside_truth_range']:.3f}")
+        return cards
 
     ours_cards = {v: run_variant(v) for v in VARIANTS}
-    ours = ours_cards[VARIANT]
 
     # ---- 3. write PARITY.md ---------------------------------------------
-    ref_card = yardstick[VARIANT]
     cols = [
         ("rmse", "RMSE (degC, ocean-masked)"),
         ("mae", "MAE"),
@@ -210,43 +227,53 @@ def main():
         "distribution distances above are the bar to beat, not a gold",
         "standard.",
         "",
-        "## 2. Our side (flagship UNet, same protocol, per variant)",
+        "## 2. Our side (flagship UNet, held-out protocol, per variant)",
         "",
-        f"For each variant: trained on its 100 real DANRA eval fields",
-        f"({TRAIN_STEPS} steps, batch {BATCH}, sdf-weighted loss,",
-        f"T={N_TIMESTEPS} linear schedule — the reference's own config),",
-        "then sampled 100 fields with MATCHED conditioning through the",
-        "800-step ancestral sampler. Small-data regime: validates pipeline",
-        "calibration, not generalization.",
+        f"For each variant: 100 real DANRA fields split 80/20 (seeded),",
+        f"trained on the 80 TRAIN fields only ({TRAIN_STEPS} steps, batch",
+        f"{BATCH}, sdf-weighted loss, T={N_TIMESTEPS} linear schedule — the",
+        "reference's own config), then sampled all 100 with MATCHED",
+        "conditioning through the 800-step ancestral sampler",
+        "(clip_denoised — standard DDPM x0 clamping the reference lacks).",
+        "Calibration = the 80 train fields; held-out = the 20 fields the",
+        "model never saw. The reference's own gen is scored on the",
+        "IDENTICAL indices in both tables.",
         "",
     ]
-    total_better = 0
-    total_metrics = 0
+    totals = {"calibration": [0, 0], "heldout": [0, 0]}
     for v in VARIANTS:
-        rc, oc = yardstick[v], ours_cards[v]
         short = v.split("__")[0]
-        lines += [
-            f"### {short}",
-            "",
-            "| metric | reference gen | OURS | truth-vs-itself ideal |",
-            "|---|---|---|---|",
-        ]
-        for key, label in cols:
-            ideal = 0.0 if key != "morans_i_gen" else rc.get("morans_i_ref", 0)
-            lines.append(
-                f"| {label} | {rc[key]:.3f} | {oc[key]:.3f} | {ideal:.3f} |"
-            )
-        better = sum(
-            1 for key, _ in cols
-            if key != "morans_i_gen" and abs(oc[key]) <= abs(rc[key]) + 1e-9
-        )
-        total_better += better
-        total_metrics += len(cols) - 1
-        lines += ["", f"Matches or beats the reference on {better}/{len(cols) - 1}.", ""]
+        lines += [f"### {short}", ""]
+        for split in ("calibration", "heldout"):
+            oc = ours_cards[v][split]["ours"]
+            rc = ours_cards[v][split]["ref"]
+            lines += [
+                f"#### {split} ({N_TRAIN if split == 'calibration' else 100 - N_TRAIN} fields)",
+                "",
+                "| metric | reference gen | OURS | truth-vs-itself ideal |",
+                "|---|---|---|---|",
+            ]
+            better = 0
+            for key, label in cols:
+                ideal = 0.0 if key != "morans_i_gen" else rc.get("morans_i_ref", 0)
+                lines.append(
+                    f"| {label} | {rc[key]:.3f} | {oc[key]:.3f} | {ideal:.3f} |"
+                )
+                if abs(oc[key] - ideal) <= abs(rc[key] - ideal) + 1e-9:
+                    better += 1
+            totals[split][0] += better
+            totals[split][1] += len(cols)
+            lines += [
+                "",
+                f"Matches or beats the reference on {better}/{len(cols)}.",
+                "",
+            ]
     lines += [
-        f"**Overall: {total_better}/{total_metrics} metric comparisons won or",
-        "tied across variants.** Generated by `scripts/make_parity.py`; raw",
-        "scorecards in `PARITY.json`.",
+        f"**Overall: calibration {totals['calibration'][0]}/"
+        f"{totals['calibration'][1]}, held-out {totals['heldout'][0]}/"
+        f"{totals['heldout'][1]} metric comparisons won or tied.**",
+        "Generated by `scripts/make_parity.py`; raw scorecards in",
+        "`PARITY.json`.",
         "",
     ]
     (REPO / "PARITY.md").write_text("\n".join(lines))

@@ -210,3 +210,57 @@ class TestFusedGroupNorm:
         m = GroupNorm1()
         params = m.init(jax.random.key(0), jnp.zeros((1, 4, 4, 32)))
         assert set(params["params"].keys()) == {"scale", "bias"}
+
+
+class TestQKInt8Attention:
+    """Serving-only dynamic-int8 QK attention (ops/flash_attention.py;
+    the attention half of the danra128int8 serving mode)."""
+
+    def _qkv(self, s=64, d=32):
+        rng = np.random.default_rng(0)
+        mk = lambda: jnp.asarray(
+            rng.standard_normal((2, s, 4, d)), jnp.float32
+        )
+        return mk(), mk(), mk()
+
+    def test_close_to_exact(self):
+        from diffusionmodelscustom_tpu.ops.attention import attention_core
+
+        q, k, v = self._qkv()
+        ref = attention_core(q, k, v, use_flash=False)
+        i8 = attention_core(q, k, v, qk_int8=True)
+        rel = float(jnp.max(jnp.abs(ref - i8))) / float(jnp.max(jnp.abs(ref)))
+        assert rel < 0.05, rel
+
+    def test_grad_raises(self):
+        from diffusionmodelscustom_tpu.ops.attention import attention_core
+
+        q, k, v = self._qkv(s=16, d=8)
+        with pytest.raises(NotImplementedError, match="serving-only"):
+            jax.grad(
+                lambda qq: attention_core(qq, k, v, qk_int8=True).sum()
+            )(q)
+
+    def test_model_serving_mode_runs(self):
+        # conv_quant=True now also quantizes attention QK; forward runs
+        # and stays close to the exact model
+        from diffusionmodelscustom_tpu.models import ConditionalUNet
+
+        kw = dict(
+            out_channels=1, base_channels=16, time_dim=32, n_heads=2,
+            attention_levels=(1,), attention_levels_up=(1,),
+        )
+        x = jax.random.normal(jax.random.key(0), (2, 16, 16, 1))
+        t = jnp.zeros((2,), jnp.int32)
+        exact = ConditionalUNet(**kw)
+        params = exact.init(jax.random.key(1), x, t)
+        y = exact.apply(params, x, t)
+        yq = ConditionalUNet(conv_quant=True, **kw).apply(params, x, t)
+        assert yq.shape == y.shape
+        assert np.isfinite(np.asarray(yq)).all()
+        # same parameters, approximate compute: outputs stay in the same
+        # ballpark (the int8 delta bound is measured on TPU; this guards
+        # against wiring errors like double scaling)
+        denom = float(jnp.max(jnp.abs(y))) + 1e-6
+        rel = float(jnp.max(jnp.abs(y - yq))) / denom
+        assert rel < 0.35, rel

@@ -40,6 +40,40 @@ def test_ancestral_jittable():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_ancestral_clip_denoised_bounds_output():
+    # A denoiser biased to push x0 far out of range: clip_denoised keeps
+    # the trajectory near [-1, 1] while the unclipped run escapes.
+    diff = GaussianDiffusion.create(n_timesteps=100)
+    target = 5.0  # implied x0 far outside [-1, 1]
+
+    def denoise_fn(x, t):
+        ab = diff.alpha_bar[t].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(ab) * target) / jnp.sqrt(1 - ab)
+
+    raw = ancestral_sample(denoise_fn, diff, jax.random.key(0), (2, 8, 8, 1))
+    clipped = ancestral_sample(
+        denoise_fn, diff, jax.random.key(0), (2, 8, 8, 1), clip_denoised=True
+    )
+    assert float(jnp.max(raw)) > 2.0  # unclipped escapes toward 5
+    assert float(jnp.max(jnp.abs(clipped))) < 1.5
+
+
+def test_ancestral_clip_denoised_noop_when_in_range():
+    # With a well-behaved denoiser (x0 in range) clipping changes nothing.
+    diff = GaussianDiffusion.create(n_timesteps=50)
+    c = 0.4
+
+    def denoise_fn(x, t):
+        ab = diff.alpha_bar[t].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(ab) * c) / jnp.sqrt(1 - ab)
+
+    a = ancestral_sample(denoise_fn, diff, jax.random.key(3), (2, 8, 8, 1))
+    b = ancestral_sample(
+        denoise_fn, diff, jax.random.key(3), (2, 8, 8, 1), clip_denoised=True
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_ddim_deterministic_and_fast():
     diff = GaussianDiffusion.create(n_timesteps=1000)
     c = -0.3
