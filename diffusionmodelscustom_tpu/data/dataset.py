@@ -297,13 +297,26 @@ class DanraDataset:
                 self._cache[idx] = sample
         return sample
 
-    def load_batch(self, indices: Sequence[int], pool=None) -> Dict[str, np.ndarray]:
+    def load_batch(
+        self,
+        indices: Sequence[int],
+        pool=None,
+        *,
+        geo_fields: bool = True,
+        cond_size: Optional[Tuple[int, int]] = None,
+    ) -> Dict[str, np.ndarray]:
         """Batched fast path: store reads fan out over ``pool`` (a
         ThreadPoolExecutor) and every field's crop+resize+scale runs as ONE
         native threaded call (native/dmc_host.cpp batch_crop_resize_scale)
         instead of per-sample Python — the replacement for the reference's
         per-sample netCDF read + PIL resize hot loop
         (data_DANRA_conditional.py:1118-1190).
+
+        ``geo_fields=False`` skips the host lsm/topo/sdf production (the
+        compact device feed reconstructs them ON DEVICE from resident
+        full-domain arrays — data/device_feed.py); ``cond_size`` ships the
+        conditioning image at a smaller feed resolution (the device
+        finisher upsamples), cutting H2D bytes on remote-tunnel setups.
         """
         from .native import batch_crop_resize_scale
 
@@ -372,7 +385,7 @@ class DanraDataset:
                 else None
             )
 
-        def batched(srcs, wins, scale: bool):
+        def batched(srcs, wins, scale: bool, target=None):
             kw = (
                 dict(
                     in_low=cfg.in_low,
@@ -384,19 +397,19 @@ class DanraDataset:
                 else {}
             )
             return batch_crop_resize_scale(
-                srcs, wins, cfg.data_size, n_threads=8, **kw
+                srcs, wins, target or cfg.data_size, n_threads=8, **kw
             )[..., None]
 
         batch: Dict[str, np.ndarray] = {"img": batched(imgs, windows, True)}
         if conds is not None:
-            batch["img_cond"] = batched(conds, cond_windows, True)
+            batch["img_cond"] = batched(conds, cond_windows, True, cond_size)
         if cfg.conditional_seasons:
             assert cfg.n_classes is not None
             batch["classifier"] = np.asarray(
                 [DateFromFile(nm).classify(cfg.n_classes) for nm in names],
                 np.int32,
             )
-        if cfg.cutouts:
+        if cfg.cutouts and geo_fields:
             if self.lsm_full is not None:
                 wins = [clamp(p, self.lsm_full) for p in points]
                 batch["lsm"] = batched([self.lsm_full] * n, wins, False)
@@ -412,6 +425,7 @@ class DanraDataset:
                 ]
                 full = [(0, c.shape[0], 0, c.shape[1]) for c in crops]
                 batch["sdf"] = batched(crops, full, False)
+        if cfg.cutouts:
             batch["points"] = np.asarray(points, np.int32)
         return batch
 

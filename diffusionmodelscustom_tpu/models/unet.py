@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from ..ops.attention import ImageSelfAttention
 from ..ops.embeddings import pos_encoding_block
+from ..ops.im2col_conv import Im2ColConv3x3
 from ..ops.quantized_conv import DynamicInt8Conv3x3
 from ..ops.resize import resize_image, upsample_2x
 
@@ -47,6 +48,11 @@ class DoubleConv(nn.Module):
     # >=128-feature convs where the int8 MXU path wins 1.47x; parameter
     # tree is unchanged, so trained checkpoints load either way
     quantized: bool = False
+    # Pallas im2col kernel for the narrow (<128ch) convs where XLA's
+    # direct conv half-fills the MXU lanes (ops/im2col_conv.py; exact,
+    # differentiable, same parameter tree). Measured in-context before
+    # defaulting — see the probe notes in scripts/probe_im2col_r2.py.
+    im2col_narrow: bool = False
 
     def _norm(self, channels: int, name: str):
         # Measured (v5e, round 2): swapping in the fused Pallas GroupNorm1
@@ -76,13 +82,21 @@ class DoubleConv(nn.Module):
             name=name,
         )
 
+    def _conv_for(self, in_ch: int, features: int, name: str):
+        # narrow convs (either side < 128 lanes) through the im2col kernel
+        if self.im2col_narrow and not self.quantized and (
+            in_ch < 128 or features < 128
+        ):
+            return Im2ColConv3x3(features, dtype=self.dtype, name=name)
+        return self._conv(features, name)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mid = self.mid_channels or self.out_channels
-        h = self._conv(mid, "conv1")(x)
+        h = self._conv_for(x.shape[-1], mid, "conv1")(x)
         h = self._norm(mid, "gn1")(h)
         h = nn.gelu(h)
-        h = self._conv(self.out_channels, "conv2")(h)
+        h = self._conv_for(mid, self.out_channels, "conv2")(h)
         h = self._norm(self.out_channels, "gn2")(h)
         if self.residual:
             return nn.gelu(x + h)
@@ -96,15 +110,18 @@ class Down(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
+    im2col_narrow: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t_emb: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = DoubleConv(in_ch, residual=True, dtype=self.dtype,
-                       quantized=self.quantized, name="res")(x)
+                       quantized=self.quantized,
+                       im2col_narrow=self.im2col_narrow, name="res")(x)
         x = DoubleConv(self.out_channels, dtype=self.dtype,
-                       quantized=self.quantized, name="proj")(x)
+                       quantized=self.quantized,
+                       im2col_narrow=self.im2col_narrow, name="proj")(x)
         emb = nn.silu(t_emb)
         emb = nn.Dense(self.out_channels, dtype=self.dtype, name="emb")(emb)
         return x + emb[:, None, None, :]
@@ -117,6 +134,7 @@ class Up(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
+    im2col_narrow: bool = False
 
     @nn.compact
     def __call__(
@@ -126,10 +144,12 @@ class Up(nn.Module):
         x = jnp.concatenate([skip, x], axis=-1)
         in_ch = x.shape[-1]
         x = DoubleConv(in_ch, residual=True, dtype=self.dtype,
-                       quantized=self.quantized, name="res")(x)
+                       quantized=self.quantized,
+                       im2col_narrow=self.im2col_narrow, name="res")(x)
         x = DoubleConv(
             self.out_channels, mid_channels=in_ch // 2, dtype=self.dtype,
-            quantized=self.quantized, name="proj"
+            quantized=self.quantized, im2col_narrow=self.im2col_narrow,
+            name="proj"
         )(x)
         emb = nn.silu(t_emb)
         emb = nn.Dense(self.out_channels, dtype=self.dtype, name="emb")(emb)
@@ -178,6 +198,11 @@ class ConditionalUNet(nn.Module):
     # attention QK logit matmuls (ops/flash_attention.py int8 kernel).
     # Approximate; keep False for training and exact-parity sampling.
     conv_quant: bool = False
+    # Route the narrow (<128ch) convs through the exact Pallas im2col
+    # kernel (ops/im2col_conv.py) — packs the 3x3 taps into the MXU
+    # contraction where XLA's direct conv half-fills the lanes. Exact and
+    # differentiable; parameter tree unchanged.
+    im2col_narrow: bool = False
 
     @nn.compact
     def __call__(
@@ -238,10 +263,12 @@ class ConditionalUNet(nn.Module):
             return min(self.n_heads, max(1, channels // self.attn_head_dim))
 
         h = DoubleConv(widths[0], dtype=self.dtype,
-                       quantized=self.conv_quant, name="inc")(h)
+                       quantized=self.conv_quant,
+                       im2col_narrow=self.im2col_narrow, name="inc")(h)
         skips = [h]
         for i, ch in enumerate(widths[1:] + [widths[-1]], start=1):
             h = Down(ch, dtype=self.dtype, quantized=self.conv_quant,
+                     im2col_narrow=self.im2col_narrow,
                      name=f"down{i}")(h, t_emb)
             if i in self.attention_levels:
                 h = ImageSelfAttention(
@@ -256,9 +283,11 @@ class ConditionalUNet(nn.Module):
         # --- bottleneck ---------------------------------------------------
         mid_ch = self.base_channels * self.bottleneck_mult
         h = DoubleConv(mid_ch, dtype=self.dtype,
-                       quantized=self.conv_quant, name="bot1")(h)
+                       quantized=self.conv_quant,
+                       im2col_narrow=self.im2col_narrow, name="bot1")(h)
         h = DoubleConv(skips[-1].shape[-1], dtype=self.dtype,
-                       quantized=self.conv_quant, name="bot2")(h)
+                       quantized=self.conv_quant,
+                       im2col_narrow=self.im2col_narrow, name="bot2")(h)
 
         # --- decoder -----------------------------------------------------
         n_levels = len(widths)
@@ -266,6 +295,7 @@ class ConditionalUNet(nn.Module):
         for i in range(n_levels):
             skip = skips[-(i + 2)]
             h = Up(up_widths[i], dtype=self.dtype, quantized=self.conv_quant,
+                   im2col_narrow=self.im2col_narrow,
                    name=f"up{i + 1}")(h, skip, t_emb)
             level = n_levels - 1 - i  # resolution level after this Up
             if level in self.attention_levels_up:

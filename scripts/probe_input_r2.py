@@ -66,24 +66,43 @@ def main():
     log(f"H2D  10.5M elems bf16 (5.25 MB): {best * 1e3:7.1f} ms "
         f"({5.25 / best:6.1f} MB/s)")
 
+    # --- 1b. one packed put vs 6 field puts (fixed-cost amortization) ---
+    fields = [rng.standard_normal(int(1.75e6 / 4)).astype(np.float32)
+              for _ in range(6)]
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        ds = [jax.device_put(f * (1 + 1e-5 * rep)) for f in fields]
+        for d in ds:
+            sync(d)
+        best = min(best, time.perf_counter() - t0)
+    log(f"6 x 1.75 MB separate puts: {best * 1e3:7.1f} ms")
+    packed = np.concatenate(fields)
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        sync(jax.device_put(packed * (1 + 1e-5 * rep)))
+        best = min(best, time.perf_counter() - t0)
+    log(f"1 x 10.5 MB packed put:    {best * 1e3:7.1f} ms")
+
     # --- 2. overlap: compute chain + background device_put -------------
     m = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.bfloat16)
 
+    S = 40
+
     @jax.jit
-    def burn(x, steps):
+    def burn(x):
         def body(c, _):
             return jnp.tanh(c @ m), ()
 
-        c, _ = jax.lax.scan(body, x, None, length=steps)
+        c, _ = jax.lax.scan(body, x, None, length=S)
         return c
 
     x0 = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.bfloat16)
-    sync(burn(x0, 10))  # compile
+    sync(burn(x0))  # compile
 
-    # calibrate compute-only time for S steps
-    S = 40
     t0 = time.perf_counter()
-    sync(burn(x0 * 1.0001, S))
+    sync(burn(x0 * 1.0001))
     t_compute = time.perf_counter() - t0
     log(f"compute-only ({S} chained 4096^3 matmuls): {t_compute * 1e3:.0f} ms")
 
@@ -109,7 +128,7 @@ def main():
         results.append(time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    fut = burn(x0 * 1.0002, S)
+    fut = burn(x0 * 1.0002)
     th = threading.Thread(target=producer)
     th.start()
     sync(fut)
