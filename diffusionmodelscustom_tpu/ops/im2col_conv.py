@@ -6,7 +6,20 @@ scripts/probe_conv_r3.py) — the MXU contracts over Cin=64, half the
 3x3 taps into the contraction (im2col: K = 9*Cin = 576) packs the lanes
 4.5x deeper; the remaining loss is the unavoidable Cout<128 column waste.
 
-Why previous reformulations failed and this one shouldn't:
+MEASURED NEGATIVE (v5e-1, round 5 — scripts/probe_im2col_r2.py): the
+kernel LOSES to XLA's direct conv at every flagship shape — 0.55x at
+64ch@128^2 (4.57 vs 2.50 ms), 0.70x at 128->64, 0.85x at 128ch@64^2 —
+and in-context the flagship forward regresses 21.3 -> 33.1 ms. Root
+cause: Mosaic's DMA lane alignment forces Cin padded to 128, doubling
+the contraction for 64-channel convs (K=9*128=1152, half zeros), and
+the 9 per-tile VMEM slab copies add VPU traffic the XLA conv doesn't
+pay. This is the THIRD measured negative on the narrow-conv lever
+(width-pair packed conv, pure-JAX shifted matmuls, Pallas im2col) —
+XLA's direct conv is the in-context optimum on this hardware. The op
+stays as a tested library capability; ``im2col_narrow`` defaults False.
+
+Why previous reformulations failed and this one shouldn't (pre-measure
+rationale, kept for the record):
 * width-pair packed conv (ops/packed_conv.py) won 1.6x in isolation but
   regressed the full model — its pack/unpack reshapes became XLA relayout
   copies at every call site. This kernel consumes the plain NHWC bf16

@@ -161,6 +161,53 @@ def main():
     real_sps = args.steps / dt_real
     log(f"store-backed: {real_sps:.2f} steps/s ({dt_real:.1f}s)")
 
+    # --- compact device feed: packed uint16 buffer + on-device geo ------
+    # (data/device_feed.py — one H2D put per step, lsm/topo/sdf rebuilt on
+    # chip from resident full-domain arrays, EDT included)
+    import concurrent.futures
+
+    import jax.numpy as jnp
+
+    from diffusionmodelscustom_tpu.data.device_feed import (
+        CompactBatcher,
+        make_compact_train_step,
+    )
+
+    pool = concurrent.futures.ThreadPoolExecutor(args.workers)
+    batcher = CompactBatcher(ds, BATCH, pool=pool)
+    fin = batcher.make_finisher()
+    step = make_compact_train_step(trainer, fin)
+    n_total = len(ds)
+    rng_idx = np.random.default_rng(0)
+
+    def buf_stream():
+        """Background-threaded host packing + device_put double buffer."""
+        def produce(_):
+            idx = rng_idx.choice(n_total, BATCH, replace=False)
+            return jnp.asarray(batcher.load(idx))
+
+        with concurrent.futures.ThreadPoolExecutor(1) as io:
+            fut = io.submit(produce, None)
+            while True:
+                buf = fut.result()
+                fut = io.submit(produce, None)
+                yield buf
+
+    bufs = buf_stream()
+    state2 = trainer.init_state(jax.random.key(1), first)
+    for i in range(2):  # compile + donation warmup
+        state2, m = step(state2, next(bufs), jax.random.fold_in(rng, 100 + i))
+    float(np.asarray(jax.device_get(m["loss"])))
+    log("compiled; timing compact device feed ...")
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state2, m = step(state2, next(bufs), jax.random.fold_in(rng, i))
+    loss = float(np.asarray(jax.device_get(m["loss"])))
+    assert np.isfinite(loss)
+    dt_compact = time.perf_counter() - t0
+    compact_sps = args.steps / dt_compact
+    log(f"compact-feed: {compact_sps:.2f} steps/s ({dt_compact:.1f}s)")
+
     # synthetic baseline: one resident device batch reused (the 15.2
     # steps/s configuration) — same step fn, zero host involvement
     synth = {k: jax.device_put(np.asarray(v)) for k, v in first.items()}
@@ -177,8 +224,11 @@ def main():
         "size": SIZE,
         "steps": args.steps,
         "store_backed_steps_per_s": round(real_sps, 3),
+        "compact_feed_steps_per_s": round(compact_sps, 3),
         "synthetic_steps_per_s": round(synth_sps, 3),
-        "pipeline_efficiency": round(real_sps / synth_sps, 4),
+        "pipeline_efficiency": round(
+            max(real_sps, compact_sps) / synth_sps, 4
+        ),
         "note": "full path: DirectoryStore zarr-layout reads -> native "
         "crop/resize/per-cutout SDF -> threaded BatchLoader -> "
         "prefetch_to_device double buffer",
