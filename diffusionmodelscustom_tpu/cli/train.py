@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cfg_scale", type=float, default=None)
     p.add_argument("--model_family", type=str, default=None,
                    choices=["flagship", "danra", "danra_ffn"])
+    p.add_argument("--device_feed", action="store_true",
+                   help="compact device feed: ship one packed uint16 "
+                        "buffer per batch and reconstruct the geography "
+                        "channels (lsm/topo crops, EDT-SDF) on device "
+                        "(data/device_feed.py)")
     p.add_argument("--synthetic", action="store_true",
                    help="run on generated synthetic data (no archive needed)")
     p.add_argument("--seed", type=int, default=None)
@@ -309,10 +314,26 @@ def main(argv=None) -> int:
     )
     dataset, loader = build_data(cfg, args.synthetic)
     steps_per_epoch = max(1, len(dataset) // cfg.training.batch_size)
+    batcher = finisher = None
+    if args.device_feed:
+        # compact packed-buffer path: minimum H2D bytes, geography
+        # reconstructed on device inside the compiled step
+        import concurrent.futures
+
+        from ..data.device_feed import CompactBatcher
+
+        feed_pool = concurrent.futures.ThreadPoolExecutor(
+            max(2, cfg.data.num_workers)
+        )
+        batcher = CompactBatcher(
+            dataset, cfg.training.batch_size, pool=feed_pool
+        )
+        finisher = batcher.make_finisher()
     trainer = Trainer(
         model,
         diffusion,
         trainer_config_from_experiment(cfg, steps_per_epoch),
+        batch_finisher=finisher,
     )
     mesh = make_mesh(cfg.training.n_data_shards, cfg.training.n_model_shards)
     sharding = batch_sharding(mesh)
@@ -323,8 +344,20 @@ def main(argv=None) -> int:
     )
 
     rng = jax.random.key(cfg.training.seed)
-    example = next(iter(loader))
-    example.pop("points", None)
+    if batcher is not None:
+        n_ds = len(dataset)
+        first_buf = batcher.load(
+            [i % n_ds for i in range(cfg.training.batch_size)]
+        )
+        example = jax.jit(finisher)(jnp.asarray(first_buf))
+        print(
+            f"[train] device feed on: {first_buf.nbytes / 1e6:.2f} MB/batch "
+            f"packed (geo channels rebuilt on device)",
+            file=sys.stderr,
+        )
+    else:
+        example = next(iter(loader))
+        example.pop("points", None)
     state = trainer.init_state(rng, example)
 
     # model summary before training (the reference's torchinfo smoke test,
@@ -346,7 +379,19 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
 
+    feed_rng = np.random.default_rng(cfg.training.seed)
+
     def epoch_batches():
+        if batcher is not None:
+            bs = cfg.training.batch_size
+            order = feed_rng.permutation(len(dataset))
+
+            def packed():
+                for s in range(len(order) // bs):
+                    yield batcher.load(order[s * bs:(s + 1) * bs])
+
+            yield from prefetch_to_device(packed(), sharding=sharding)
+            return
         for batch in prefetch_to_device(loader, sharding=sharding):
             batch.pop("points", None)
             yield batch

@@ -77,8 +77,13 @@ class CompactSpec:
         return segs
 
     @property
-    def n_elements(self) -> int:
-        return sum(int(np.prod(shape)) for _, shape, _ in self.segments())
+    def n_per_sample(self) -> int:
+        """uint16 elements per sample (the packed buffer is
+        (batch, n_per_sample) — batch-major so the data axis shards)."""
+        return sum(
+            int(np.prod(shape)) // self.batch
+            for _, shape, _ in self.segments()
+        )
 
     @classmethod
     def for_dataset(
@@ -109,7 +114,9 @@ class CompactSpec:
 
 
 def pack_compact(batch: Dict[str, np.ndarray], spec: CompactSpec) -> np.ndarray:
-    """Host side: flatten the compact batch into one uint16 buffer.
+    """Host side: pack the compact batch into one (batch, n_per_sample)
+    uint16 buffer — batch-major, so sharding axis 0 on a mesh's ``data``
+    axis keeps every sample's bytes on one device.
 
     bf16 payloads are viewed as uint16 (same-width view, no bitcast
     ambiguity on device); int32 labels/coords must fit in uint16 (class
@@ -118,6 +125,7 @@ def pack_compact(batch: Dict[str, np.ndarray], spec: CompactSpec) -> np.ndarray:
     import ml_dtypes
 
     parts = []
+    b = spec.batch
     for name, shape, dtype in spec.segments():
         arr = np.asarray(batch[name])
         if arr.shape != shape:
@@ -126,23 +134,24 @@ def pack_compact(batch: Dict[str, np.ndarray], spec: CompactSpec) -> np.ndarray:
             parts.append(
                 np.ascontiguousarray(arr, dtype=ml_dtypes.bfloat16)
                 .view(np.uint16)
-                .ravel()
+                .reshape(b, -1)
             )
         else:
             ints = np.ascontiguousarray(arr)
             if ints.min() < 0 or ints.max() > int(_U16_MAX):
                 raise ValueError(f"{name}: values outside uint16 range")
-            parts.append(ints.astype(np.uint16).ravel())
-    return np.concatenate(parts)
+            parts.append(ints.astype(np.uint16).reshape(b, -1))
+    return np.concatenate(parts, axis=1)
 
 
 def unpack_compact(buf: jnp.ndarray, spec: CompactSpec) -> Dict[str, jnp.ndarray]:
-    """Device side (jit-traceable): static slices + same-width bitcasts."""
+    """Device side (jit-traceable): static column slices + same-width
+    bitcasts on the (batch, n_per_sample) buffer."""
     out = {}
     offset = 0
     for name, shape, dtype in spec.segments():
-        n = int(np.prod(shape))
-        seg = jax.lax.slice_in_dim(buf, offset, offset + n)
+        n = int(np.prod(shape)) // spec.batch
+        seg = jax.lax.slice_in_dim(buf, offset, offset + n, axis=1)
         offset += n
         if dtype == jnp.bfloat16:
             out[name] = jax.lax.bitcast_convert_type(seg, jnp.bfloat16).reshape(

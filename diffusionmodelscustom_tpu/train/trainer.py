@@ -95,10 +95,17 @@ class Trainer:
         model,
         diffusion: GaussianDiffusion,
         config: TrainerConfig = TrainerConfig(),
+        batch_finisher=None,
     ):
         self.model = model
         self.diffusion = diffusion
         self.config = config
+        # jit-traceable transform applied to every incoming batch inside
+        # the compiled step (e.g. data.device_feed.DeviceGeoFinisher:
+        # batches arrive as packed uint16 buffers and the geography
+        # channels are reconstructed on device). None -> batches are the
+        # usual dicts.
+        self._batch_finisher = batch_finisher
         schedule = None
         plateau_patience = None
         if config.lr_scheduler == "warmup_cosine":
@@ -268,6 +275,8 @@ class Trainer:
     def _train_step_impl(
         self, state: TrainState, batch: Batch, rng: jax.Array
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if self._batch_finisher is not None:
+            batch = self._batch_finisher(batch)
         rng_t, rng_noise, rng_cfg = jax.random.split(rng, 3)
         batch = self._apply_cfg_dropout(rng_cfg, batch)
         x0 = batch["img"]
@@ -308,6 +317,8 @@ class Trainer:
     def _eval_step_impl(
         self, state: TrainState, batch: Batch, rng: jax.Array
     ) -> jnp.ndarray:
+        if self._batch_finisher is not None:
+            batch = self._batch_finisher(batch)
         rng_t, rng_noise = jax.random.split(rng)
         x0 = batch["img"]
         t = self.diffusion.sample_timesteps(rng_t, x0.shape[0])

@@ -199,3 +199,63 @@ class TestCompactTrainStep:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-6
             )
+
+    def test_sharded_buffer_step_matches_single_device(self, stores):
+        # the packed buffer is (batch, n_per_sample) so the mesh data
+        # axis shards it like any other batch leaf; the finisher's
+        # dynamic_slice gathers run against the replicated full-domain
+        # geography — loss and updated params must match single-device
+        from diffusionmodelscustom_tpu.core.ddpm import GaussianDiffusion
+        from diffusionmodelscustom_tpu.models.unet import ConditionalUNet
+        from diffusionmodelscustom_tpu.parallel import (
+            batch_sharding,
+            make_mesh,
+            state_sharding,
+        )
+        from diffusionmodelscustom_tpu.train.trainer import (
+            Trainer,
+            TrainerConfig,
+        )
+
+        ds = _dataset(stores)
+        model = ConditionalUNet(
+            out_channels=1, base_channels=8, channel_mults=(1, 2),
+            n_heads=1, attention_levels=(), attention_levels_up=(),
+            num_classes=4, cond_img_channels=1,
+            cond_on_lsm=True, cond_on_topo=True,
+        )
+        diff = GaussianDiffusion.create(n_timesteps=20)
+        batcher = CompactBatcher(ds, 8)
+        fin = batcher.make_finisher()
+        trainer = Trainer(
+            model, diff,
+            TrainerConfig(loss="sdfweighted", ema=False),
+            batch_finisher=fin,
+        )
+        buf = jnp.asarray(batcher.load(list(range(8))))
+        example = jax.jit(fin)(buf)
+        state = trainer.init_state(jax.random.key(0), example)
+        rng = jax.random.key(2)
+
+        state_single, m_single = trainer.train_step(
+            jax.tree_util.tree_map(jnp.copy, state), buf, rng
+        )
+
+        mesh = make_mesh(8, 1)
+        buf_sh = jax.device_put(buf, batch_sharding(mesh))
+        st_spec = state_sharding(mesh, state)
+        state_sh = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s) if hasattr(x, "shape") else x,
+            state, st_spec,
+        )
+        with mesh:
+            state_multi, m_multi = trainer.train_step(state_sh, buf_sh, rng)
+
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_multi["loss"]), rtol=1e-5
+        )
+        l1 = jax.tree_util.tree_leaves(state_single.params)[0]
+        l2 = jax.tree_util.tree_leaves(state_multi.params)[0]
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-6
+        )
