@@ -314,7 +314,7 @@ def main(argv=None) -> int:
     )
     dataset, loader = build_data(cfg, args.synthetic)
     steps_per_epoch = max(1, len(dataset) // cfg.training.batch_size)
-    batcher = finisher = None
+    batcher = finisher = feed_pool = None
     if args.device_feed:
         # compact packed-buffer path: minimum H2D bytes, geography
         # reconstructed on device inside the compiled step
@@ -383,6 +383,10 @@ def main(argv=None) -> int:
 
     def epoch_batches():
         if batcher is not None:
+            # same shuffle/drop-last epoch semantics as BatchLoader, but
+            # producing packed buffers (the loader's dict-batch assembly
+            # doesn't apply; the batcher's thread pool parallelizes the
+            # store reads inside load_batch instead)
             bs = cfg.training.batch_size
             order = feed_rng.permutation(len(dataset))
 
@@ -438,17 +442,21 @@ def main(argv=None) -> int:
         )
 
     t0 = time.time()
-    with mesh:
-        state, history = trainer.fit(
-            state,
-            train_loader=epoch_batches,
-            valid_loader=epoch_batches,
-            epochs=cfg.training.epochs,
-            rng=rng,
-            checkpoint_fn=lambda s, e, m: ckpt.save(e, s, monitor=m),
-            log_fn=log_fn,
-            epoch_end_fn=epoch_end_fn,
-        )
+    try:
+        with mesh:
+            state, history = trainer.fit(
+                state,
+                train_loader=epoch_batches,
+                valid_loader=epoch_batches,
+                epochs=cfg.training.epochs,
+                rng=rng,
+                checkpoint_fn=lambda s, e, m: ckpt.save(e, s, monitor=m),
+                log_fn=log_fn,
+                epoch_end_fn=epoch_end_fn,
+            )
+    finally:
+        if feed_pool is not None:
+            feed_pool.shutdown(wait=False)
     if args.create_figs:
         from ..utils.plotting import save_loss_curves
 

@@ -96,6 +96,10 @@ class CompactSpec:
         """Derive the spec from a DanraDataset's config (the same flags
         load_batch keys its output on)."""
         cfg = dataset.cfg
+        # geo fields exist only on the cutout path (mirrors load_batch's
+        # "if cfg.cutouts and geo_fields" host gating): without cutout
+        # points there is nothing to reconstruct
+        cutouts = bool(cfg.cutouts)
         return cls(
             batch=batch,
             data_size=tuple(cfg.data_size),
@@ -105,11 +109,15 @@ class CompactSpec:
                 else None
             ),
             has_classifier=bool(cfg.conditional_seasons),
-            has_points=bool(cfg.cutouts),
+            has_points=cutouts,
             cutout_size=int(cfg.cutout_size or cfg.data_size[0]),
-            want_lsm=dataset.lsm_full is not None,
-            want_topo=dataset.topo_full is not None,
-            want_sdf=bool(cfg.sdf_weighted_loss and dataset.lsm_full is not None),
+            want_lsm=cutouts and dataset.lsm_full is not None,
+            want_topo=cutouts and dataset.topo_full is not None,
+            want_sdf=bool(
+                cutouts
+                and cfg.sdf_weighted_loss
+                and dataset.lsm_full is not None
+            ),
         )
 
 
@@ -165,10 +173,9 @@ def unpack_compact(buf: jnp.ndarray, spec: CompactSpec) -> Dict[str, jnp.ndarray
 def _resize_nhwc(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     if x.shape[1:3] == tuple(size):
         return x
-    b, _, _, c = x.shape
-    return jax.image.resize(
-        x, (b, size[0], size[1], c), method="linear"
-    ).astype(x.dtype)
+    from ..ops.resize import resize_image
+
+    return resize_image(x, size[0], size[1], method="bilinear")
 
 
 class DeviceGeoFinisher:
@@ -286,7 +293,14 @@ class CompactBatcher:
 def make_compact_train_step(trainer, finisher: DeviceGeoFinisher):
     """Jit one fused (unpack + geo reconstruct + train) step: the packed
     buffer is the only per-step H2D payload, and XLA schedules the
-    reconstruction alongside the model step."""
+    reconstruction alongside the model step.
+
+    Equivalent to ``Trainer(..., batch_finisher=finisher).train_step``;
+    if the trainer was already built with a batch_finisher, that step IS
+    the fused step — return it rather than applying the finisher twice.
+    """
+    if getattr(trainer, "_batch_finisher", None) is not None:
+        return trainer.train_step
 
     def step(state, buf, rng):
         return trainer._train_step_impl(state, finisher(buf), rng)

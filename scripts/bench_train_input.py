@@ -226,9 +226,9 @@ def main():
         "store_backed_steps_per_s": round(real_sps, 3),
         "compact_feed_steps_per_s": round(compact_sps, 3),
         "synthetic_steps_per_s": round(synth_sps, 3),
-        "pipeline_efficiency": round(
-            max(real_sps, compact_sps) / synth_sps, 4
-        ),
+        # efficiency per pipeline, vs the synthetic-resident ceiling
+        "pipeline_efficiency": round(real_sps / synth_sps, 4),
+        "compact_feed_efficiency": round(compact_sps / synth_sps, 4),
         "note": "full path: DirectoryStore zarr-layout reads -> native "
         "crop/resize/per-cutout SDF -> threaded BatchLoader -> "
         "prefetch_to_device double buffer",

@@ -147,6 +147,22 @@ class TestFinisherMatchesHost:
         err = np.abs(np.asarray(out["img_cond"]) - host["img_cond"]).mean()
         assert err < 0.25
 
+    def test_no_cutout_config_builds_finisher(self, stores):
+        # cfg.cutouts=False: no points, so no geo reconstruction even
+        # though the dataset holds full-domain lsm/topo (the host path's
+        # "if cfg.cutouts and geo_fields" gating, mirrored)
+        ds = _dataset(stores, cutouts=False, sdf_weighted_loss=False,
+                      data_size=(64, 64))
+        batcher = CompactBatcher(ds, 2)
+        spec = batcher.spec
+        assert not (spec.want_lsm or spec.want_topo or spec.want_sdf)
+        assert not spec.has_points
+        out = jax.jit(batcher.make_finisher())(
+            jnp.asarray(batcher.load([0, 1]))
+        )
+        assert out["img"].shape == (2, 64, 64, 1)
+        assert "lsm" not in out and "sdf" not in out and "topo" not in out
+
     def test_requires_points_for_geo(self):
         spec = CompactSpec(
             batch=2, data_size=(8, 8), want_lsm=True, cutout_size=8
