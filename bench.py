@@ -161,23 +161,28 @@ def bench_mnist():
     bench_danra(32, conditional=False, batch=64, tag="mnist32_uncond_ddpm1000")
 
 
-def bench_cascade():
+def bench_cascade(quant: bool = False):
     from diffusionmodelscustom_tpu.core import EDMConfig
     from diffusionmodelscustom_tpu.models.imagen import ElucidatedImagen, ImagenUNet
 
     text_dim = 768
-    unets = [
-        ImagenUNet(dim=128, dim_mults=(1, 2, 3), channels=3,
-                   text_embed_dim=text_dim, num_resnet_blocks=2,
-                   layer_attns=(False, True, True),
-                   layer_cross_attns=(False, True, True), attn_heads=4,
-                   dtype=jnp.bfloat16),
-        ImagenUNet(dim=64, dim_mults=(1, 2, 4), channels=3,
-                   text_embed_dim=text_dim, num_resnet_blocks=2,
-                   layer_attns=(False, False, True),
-                   layer_cross_attns=(False, False, True), attn_heads=4,
-                   lowres_cond=True, dtype=jnp.bfloat16),
-    ]
+
+    def stage_unets(conv_quant):
+        return [
+            ImagenUNet(dim=128, dim_mults=(1, 2, 3), channels=3,
+                       text_embed_dim=text_dim, num_resnet_blocks=2,
+                       layer_attns=(False, True, True),
+                       layer_cross_attns=(False, True, True), attn_heads=4,
+                       conv_quant=conv_quant, dtype=jnp.bfloat16),
+            ImagenUNet(dim=64, dim_mults=(1, 2, 4), channels=3,
+                       text_embed_dim=text_dim, num_resnet_blocks=2,
+                       layer_attns=(False, False, True),
+                       layer_cross_attns=(False, False, True), attn_heads=4,
+                       lowres_cond=True, conv_quant=conv_quant,
+                       dtype=jnp.bfloat16),
+        ]
+
+    unets = stage_unets(quant)
     cascade = ElucidatedImagen(
         unets=unets, image_sizes=(64, 128), channels=3,
         edm=EDMConfig(num_sample_steps=32),
@@ -213,7 +218,9 @@ def bench_cascade():
     # undercounted by ~2.4x and made the cascade look like 8 TF/s;
     # scripts/probe_cascade_r4.py re-measured the truth at ~77 TF/s).
     per_fwd = 0.0
-    for idx, unet in enumerate(cascade.unets):
+    # the A100 projection is exact-bf16 FLOPs either way (the reference
+    # has no quantized path) — count from the exact-mode unets
+    for idx, unet in enumerate(stage_unets(False)):
         kw = dict(text_embeds=te, text_mask=tm)
         x = jnp.zeros((batch, cascade.image_sizes[idx],
                        cascade.image_sizes[idx], 3))
@@ -228,7 +235,8 @@ def bench_cascade():
     log(f"measured cascade FLOPs/sample: {cascade_flops/1e9:.1f} GF "
         f"({per_fwd/1e9:.1f} GF/eval-pair at batch {batch})")
     ref_sps = A100_BF16_PEAK * REF_UTIL / cascade_flops
-    emit("imagen_cascade_edm32_64to128", sps, "samples/sec/chip", sps / ref_sps)
+    tag = "imagen_cascade_edm32_64to128" + ("_int8" if quant else "")
+    emit(tag, sps, "samples/sec/chip", sps / ref_sps)
 
 
 def bench_train():
@@ -268,7 +276,8 @@ def main() -> None:
         "--config",
         default="danra128",
         choices=["mnist", "danra64", "danra64cond", "danra128",
-                 "danra128int8", "latency", "cascade", "train"],
+                 "danra128int8", "latency", "cascade", "cascadeint8",
+                 "train"],
     )
     args = parser.parse_args()
     log(f"backend={jax.default_backend()} devices={len(jax.devices())} "
@@ -317,6 +326,8 @@ def main() -> None:
         bench_danra(64, conditional=True, batch=16, tag="danra64_cond_ddpm1000")
     elif args.config == "cascade":
         bench_cascade()
+    elif args.config == "cascadeint8":
+        bench_cascade(quant=True)
     elif args.config == "train":
         bench_train()
     else:

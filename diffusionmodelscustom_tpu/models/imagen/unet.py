@@ -119,6 +119,10 @@ class ResnetBlock(nn.Module):
     # by the Unet's use_linear_cross_attn knob
     linear_cross_attn: bool = False
     dtype: jnp.dtype = jnp.float32
+    # Serving-only dynamic-int8 compute for the >=128-channel 3x3 convs
+    # (ops/quantized_conv.py: 186 vs 127 TF/s on the v5e int8 MXU path).
+    # Identical parameter tree; approximate — keep False for training.
+    conv_quant: bool = False
 
     @nn.compact
     def __call__(
@@ -146,6 +150,19 @@ class ResnetBlock(nn.Module):
             if use_film and scale_shift is not None:
                 h = h * (scale_shift[0] + 1.0) + scale_shift[1]
             h = nn.silu(h)
+            if (
+                self.conv_quant
+                and h.shape[-1] >= 128
+                and self.out_channels >= 128
+            ):
+                from ...ops.quantized_conv import DynamicInt8Conv3x3
+
+                return DynamicInt8Conv3x3(
+                    self.out_channels,
+                    dtype=self.dtype,
+                    use_bias=True,
+                    name=f"{name}_conv",
+                )(h)
             return nn.Conv(
                 self.out_channels,
                 (3, 3),
@@ -337,6 +354,11 @@ class ImagenUNet(nn.Module):
     use_linear_cross_attn: bool | Sequence[bool] = False
     # cosine-sim QK-normalized attention (imagen_pytorch.py:1171)
     cosine_sim_attn: bool = False
+    # Serving-only: dynamic-int8 compute for the >=128-channel resnet
+    # convs (ops/quantized_conv.py). Approximate; same parameter tree —
+    # trained checkpoints load either way. Keep False for training
+    # (differentiating through it raises). Beyond-reference knob.
+    conv_quant: bool = False
     # skip concat scaled by 2^-0.5 (imagen_pytorch.py:2602,3146;
     # reference default is True, :2390)
     scale_skip_connection: bool = True
@@ -588,6 +610,7 @@ class ImagenUNet(nn.Module):
                     use_global_context=self.use_global_context,
                     linear_cross_attn=use_lin_cross,
                     dtype=self.dtype,
+                    conv_quant=self.conv_quant,
                     name=f"down_{lvl}_res{bi}",
                 )(
                     h,
@@ -635,6 +658,7 @@ class ImagenUNet(nn.Module):
             cond_dim=cond_dim,
             time_cond_dim=time_cond_dim,
             dtype=self.dtype,
+            conv_quant=self.conv_quant,
             name="mid_res1",
         )(h, time_cond, context, context_mask)
         if self.attend_at_middle:
@@ -652,6 +676,7 @@ class ImagenUNet(nn.Module):
             cond_dim=cond_dim,
             time_cond_dim=time_cond_dim,
             dtype=self.dtype,
+            conv_quant=self.conv_quant,
             name="mid_res2",
         )(h, time_cond, context, context_mask)
 
@@ -684,6 +709,7 @@ class ImagenUNet(nn.Module):
                     use_global_context=self.use_global_context,
                     linear_cross_attn=use_lin_cross,
                     dtype=self.dtype,
+                    conv_quant=self.conv_quant,
                     name=f"up_{lvl}_res{bi}",
                 )(
                     h,
@@ -729,6 +755,7 @@ class ImagenUNet(nn.Module):
                 time_cond_dim=time_cond_dim,
                 groups=self.resnet_groups,
                 dtype=self.dtype,
+                conv_quant=self.conv_quant,
                 name="final_res_block",
             )(h, time_cond)
         if lowres_for_head is not None:

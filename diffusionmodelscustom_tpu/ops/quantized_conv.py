@@ -98,11 +98,14 @@ def dynamic_int8_conv3x3(
 
 
 class DynamicInt8Conv3x3(nn.Module):
-    """Serving-time drop-in for ``nn.Conv(features, (3,3), padding=1,
-    use_bias=False)`` — identical parameter name/shape, int8 compute."""
+    """Serving-time drop-in for ``nn.Conv(features, (3,3), padding=1)``
+    — identical parameter names/shapes (``kernel`` and, with
+    ``use_bias``, ``bias``), int8 compute; the bias is added in float
+    after the dequant (exact, only the matmul is quantized)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -112,7 +115,13 @@ class DynamicInt8Conv3x3(nn.Module):
             (3, 3, x.shape[-1], self.features),
             jnp.float32,
         )
-        return dynamic_int8_conv3x3(x, kernel, out_dtype=self.dtype)
+        out = dynamic_int8_conv3x3(x, kernel, out_dtype=self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            out = out + bias.astype(out.dtype)
+        return out
 
 
 __all__ = [

@@ -92,3 +92,46 @@ def test_grad_through_int8_conv_raises():
     k = jax.random.normal(jax.random.key(1), (3, 3, 16, 16)) * 0.1
     with _pytest.raises(NotImplementedError):
         jax.grad(lambda k: dynamic_int8_conv3x3(x, k).sum())(k)
+
+
+def test_int8_module_bias_variant_matches_nn_conv_tree():
+    from flax import linen as nn
+
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 16))
+    ref = nn.Conv(32, (3, 3), padding=1)  # use_bias=True default
+    q = DynamicInt8Conv3x3(32, use_bias=True)
+    pref = ref.init(jax.random.key(1), x)
+    out = q.apply(pref, x)
+    want = ref.apply(pref, x)
+    rel = float(jnp.abs(out - want).max() / (jnp.abs(want).max() + 1e-9))
+    assert out.shape == want.shape and rel < 0.05
+
+
+def test_imagen_unet_conv_quant_close_and_finite():
+    """Cascade serving mode: ImagenUNet(conv_quant=True) stays within a
+    few percent of the exact forward on identical parameters; the
+    parameter tree is unchanged (trained checkpoints load either way)."""
+    from diffusionmodelscustom_tpu.models.imagen import ImagenUNet
+
+    kwargs = dict(
+        dim=128, dim_mults=(1,), channels=3, num_resnet_blocks=1,
+        layer_attns=(False,), layer_cross_attns=(False,),
+        attn_heads=2, learned_sinu_dim=8, attend_at_middle=False,
+    )
+    exact = ImagenUNet(**kwargs)
+    quant = ImagenUNet(conv_quant=True, **kwargs)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+    nc = jnp.zeros((2,))
+    params = exact.init(jax.random.key(1), x, nc)
+    a = exact.apply(params, x, nc)
+    b = quant.apply(params, x, nc)
+    assert bool(jnp.isfinite(b).all())
+    rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+    assert rel < 0.08, rel
+    # grad through the quantized cascade raises, not silently zeros
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        jax.grad(
+            lambda p: quant.apply(p, x, nc).sum()
+        )(params)
