@@ -145,6 +145,7 @@ class GaussianDiffusion:
         predicted_noise: jnp.ndarray,
         eta_noise: Optional[jnp.ndarray] = None,
         eta: float = 0.0,
+        clip_denoised: bool = False,
     ) -> jnp.ndarray:
         """One deterministic (eta=0) or stochastic DDIM step.
 
@@ -162,6 +163,14 @@ class GaussianDiffusion:
         x0_hat = (x - jnp.sqrt(1.0 - a_bar_t) * predicted_noise) * jax.lax.rsqrt(
             a_bar_t
         )
+        if clip_denoised:
+            # standard x0 clamp (Ho et al. clip_denoised; data lives in
+            # [-1, 1]); re-derive eps from the clamped x0 so the step's
+            # direction term stays consistent
+            x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
+            predicted_noise = (
+                x - jnp.sqrt(a_bar_t) * x0_hat
+            ) * jax.lax.rsqrt(1.0 - a_bar_t)
         sigma = eta * jnp.sqrt(
             (1.0 - a_bar_prev) / (1.0 - a_bar_t) * (1.0 - a_bar_t / a_bar_prev)
         )

@@ -37,9 +37,17 @@ def dpmpp_2m_sample(
     x_init: Optional[jnp.ndarray] = None,
     uncond_fn: Optional[DenoiseFn] = None,
     cfg_scale: float = 0.0,
+    clip_denoised: bool = False,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Deterministic 2nd-order multistep sampling (eps-prediction model)."""
+    """Deterministic 2nd-order multistep sampling (eps-prediction model).
+
+    ``clip_denoised`` clamps each x0 prediction to [-1, 1] (the DPM-Solver
+    paper's "dynamic thresholding" simplification for bounded data); at
+    few-step budgets the unclamped estimate compounds — measured on the
+    held-out parity fields at 25 steps: RMSE 6.4 -> 3.6, FID 397 -> 67
+    (FEWSTEP.json).
+    """
     if x_init is None:
         x = jax.random.normal(rng, tuple(shape), dtype)
     else:
@@ -66,7 +74,10 @@ def dpmpp_2m_sample(
         eps = denoise_fn(x, t)
         if cfg_scale > 0.0 and uncond_fn is not None:
             eps = classifier_free_guidance(uncond_fn(x, t), eps, cfg_scale)
-        return diffusion.pred_x0_from_noise(x, t, eps)
+        x0 = diffusion.pred_x0_from_noise(x, t, eps)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        return x0
 
     def step(carry, i):
         x, x0_prev, h_prev = carry

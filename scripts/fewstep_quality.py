@@ -1,0 +1,248 @@
+"""Few-step serving quality scorecard: does cutting 800 steps to 50/25
+hold the parity metrics?
+
+Protocol (reuses make_parity's held-out setup on the primary ERA5
+variant): train the flagship on the 80 train fields (12k steps, the
+reference's own config), then sample the SAME 100 matched-conditioning
+fields through
+
+* the reference's 800-step ancestral DDPM (the PARITY.md sampler),
+* 50-step DDIM (eta=0),
+* 25-step DPM-Solver++ 2M,
+
+and score each against the truth with the full metric suite, split
+calibration/held-out. The serving claim this pins: the fast samplers
+trade 16-32x fewer UNet evaluations for ~zero metric movement, so the
+1.72 samples/s/chip exact-mode headline becomes ~28-55 samples/s/chip
+in few-step serving at matched output quality (plus distillation,
+train/distill.py, below 25 steps).
+
+Run (TPU, ~20 min warm):  python scripts/fewstep_quality.py
+Writes docs/FEWSTEP.md + FEWSTEP.json.
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+from make_parity import (  # noqa: E402
+    BATCH,
+    N_TIMESTEPS,
+    N_TRAIN,
+    TRAIN_STEPS,
+    VARIANTS,
+    log,
+    scale,
+    unscale,
+)
+
+VARIANT = VARIANTS[0]  # ERA5-conditioned sdf-weighted (the flagship run)
+
+
+def main():
+    from diffusionmodelscustom_tpu.core import GaussianDiffusion
+    from diffusionmodelscustom_tpu.data.geo import generate_sdf, normalize_sdf
+    from diffusionmodelscustom_tpu.evaluation.fid import fid
+    from diffusionmodelscustom_tpu.evaluation.parity import (
+        load_reference_bundles,
+        parity_scorecard,
+    )
+    from diffusionmodelscustom_tpu.models import ConditionalUNet
+    from diffusionmodelscustom_tpu.sampling import (
+        ancestral_sample,
+        ddim_sample,
+        dpmpp_2m_sample,
+    )
+    from diffusionmodelscustom_tpu.train import Trainer, TrainerConfig
+
+    bundles = load_reference_bundles()
+    b = bundles[VARIANT]
+    truth = b["eval"]
+    lsm = b["lsm"]
+    cond = np.clip(b["cond"], -40.0, 40.0)
+    season = b["season"].astype(np.int32)
+    sdf = np.stack([normalize_sdf(generate_sdf(m)) for m in (lsm > 0.5)])
+    batch_all = {
+        "img": scale(truth)[..., None].astype(np.float32),
+        "img_cond": scale(cond)[..., None].astype(np.float32),
+        "lsm": lsm[..., None].astype(np.float32),
+        "topo": np.zeros_like(lsm)[..., None].astype(np.float32),
+        "classifier": season,
+        "sdf": sdf[..., None].astype(np.float32),
+    }
+
+    model = ConditionalUNet(
+        out_channels=1, base_channels=64, time_dim=256, n_heads=4,
+        num_classes=4, cond_img_channels=1, cond_on_lsm=True,
+        cond_on_topo=True, attention_levels=(1, 2, 3),
+        attention_levels_up=(2, 1), dtype=jnp.bfloat16,
+    )
+    diffusion = GaussianDiffusion.create(
+        n_timesteps=N_TIMESTEPS, beta_min=1e-4, beta_max=0.02,
+        scheduler="linear",
+    )
+    trainer = Trainer(
+        model, diffusion,
+        TrainerConfig(loss="sdfweighted", learning_rate=3e-4, ema=True,
+                      num_classes=4, lr_scheduler="warmup_cosine",
+                      warmup_steps=300, total_steps=TRAIN_STEPS),
+    )
+    rng = jax.random.key(0)
+    state = trainer.init_state(rng, {k: v[:BATCH] for k, v in batch_all.items()})
+
+    n = len(truth)
+    perm = np.random.default_rng(42).permutation(n)
+    train_idx = np.sort(perm[:N_TRAIN])
+    hold_idx = np.sort(perm[N_TRAIN:])
+
+    # cache the trained EMA params so sampler-only reruns skip training
+    from flax import serialization
+
+    cache = pathlib.Path("/tmp/fewstep_params.bin")
+    if cache.exists():
+        log(f"loading cached params from {cache} ...")
+        params = serialization.from_bytes(
+            state.params, cache.read_bytes()
+        )
+    else:
+        log(f"training on {len(train_idx)} fields ...")
+        t0 = time.time()
+        order_rng = np.random.default_rng(0)
+        for step in range(TRAIN_STEPS):
+            idx = train_idx[
+                order_rng.choice(len(train_idx), BATCH, replace=False)
+            ]
+            batch = {k: v[idx] for k, v in batch_all.items()}
+            state, m = trainer.train_step(
+                state, batch, jax.random.fold_in(rng, step)
+            )
+            if step % 2000 == 0:
+                log(f"  step {step}: "
+                    f"loss={float(jax.device_get(m['loss'])):.4f}"
+                    f" ({time.time() - t0:.0f}s)")
+        log(f"trained {TRAIN_STEPS} steps in {time.time() - t0:.0f}s")
+        params = (
+            state.ema_params if state.ema_params is not None else state.params
+        )
+        cache.write_bytes(serialization.to_bytes(params))
+
+    samplers = {
+        "ancestral_800": lambda dn, key, shape: ancestral_sample(
+            dn, diffusion, key, shape, clip_denoised=True),
+        "ddim_50": lambda dn, key, shape: ddim_sample(
+            dn, diffusion, key, shape, num_steps=50, clip_denoised=True),
+        "dpmpp2m_25": lambda dn, key, shape: dpmpp_2m_sample(
+            dn, diffusion, key, shape, num_steps=25, clip_denoised=True),
+    }
+    evals = {"ancestral_800": 800, "ddim_50": 50, "dpmpp2m_25": 25}
+
+    results = {}
+    chunk = 25
+    for name, sampler in samplers.items():
+
+        def run_chunk(start):
+            sl = slice(start, start + chunk)
+            cb = {k: jnp.asarray(v[sl]) for k, v in batch_all.items()}
+
+            def denoise(x, t):
+                return model.apply(
+                    {"params": params}, x, t, cb["classifier"],
+                    cb["img_cond"], cb["lsm"], cb["topo"],
+                )
+
+            return sampler(
+                denoise, jax.random.fold_in(jax.random.key(7), start),
+                (cb["img"].shape[0], 64, 64, 1),
+            )
+
+        # warm-up: compile the sampler graph outside the timed window
+        np.asarray(jax.device_get(run_chunk(0)))
+        gens = []
+        t0 = time.time()
+        for start in range(0, n, chunk):
+            gens.append(np.asarray(jax.device_get(run_chunk(start)))[..., 0])
+        dt = time.time() - t0
+        gen = unscale(np.concatenate(gens))
+        cards = {}
+        for split, idx in (("calibration", train_idx), ("heldout", hold_idx)):
+            card = parity_scorecard(gen[idx], truth[idx], lsm[idx])
+            card["fid"] = fid(gen[idx], truth[idx])
+            cards[split] = card
+        results[name] = {
+            "steps": evals[name],
+            "sample_seconds_100": round(dt, 1),
+            **{f"{s}_{k}": round(float(v), 4)
+               for s, c in cards.items() for k, v in c.items()},
+        }
+        log(f"[{name}] {dt:.0f}s  heldout rmse={cards['heldout']['rmse']:.2f} "
+            f"w1={cards['heldout']['wasserstein1']:.2f} "
+            f"moran={cards['heldout']['morans_i_gen']:.3f} "
+            f"fid={cards['heldout']['fid']:.1f}")
+
+    # ---- write docs/FEWSTEP.md -------------------------------------------
+    metrics = [
+        ("rmse", "RMSE"), ("mae", "MAE"), ("crps", "CRPS"),
+        ("wasserstein1", "W1"), ("ks", "KS"), ("fid", "FID"),
+        ("morans_i_gen", "Moran's I"),
+        ("frac_outside_truth_range", "out-of-range"),
+    ]
+    lines = [
+        "# Few-step serving quality (measured, v5e-1)",
+        "",
+        "One flagship model (ERA5 variant, make_parity's held-out 80/20",
+        f"protocol, {TRAIN_STEPS} steps), sampled through three step",
+        "budgets with MATCHED conditioning; metrics on the 20 held-out",
+        "fields the model never saw. The fast samplers are the serving",
+        "path: 16-32x fewer UNet evaluations at the quality shown below",
+        "(progressive distillation, train/distill.py, goes below 25).",
+        "",
+        "| metric | ancestral 800 | DDIM 50 | DPM-Solver++ 25 |",
+        "|---|---|---|---|",
+    ]
+    for key, label in metrics:
+        row = [f"| {label} "]
+        for name in ("ancestral_800", "ddim_50", "dpmpp2m_25"):
+            row.append(f"| {results[name]['heldout_' + key]:.3f} ")
+        lines.append("".join(row) + "|")
+    lines += [
+        "",
+        "Wall-clock for 100 conditioned 64x64 samples (batch 25). NOT a",
+        "throughput benchmark: each 25-sample chunk re-traces its",
+        "conditioning closure, so a fixed ~2-3 s host/dispatch cost per",
+        "chunk dominates the few-step rows (true model-bound throughput",
+        "is `bench.py`'s job — 7.9 samples/s/chip at 64px for the FULL",
+        "1000-step chain, so 50-step DDIM is ~120 samples/s/chip when",
+        "served from one jitted callable):",
+        "",
+        "| sampler | steps | seconds | samples/s (this harness) |",
+        "|---|---|---|---|",
+    ]
+    for name in ("ancestral_800", "ddim_50", "dpmpp2m_25"):
+        r = results[name]
+        lines.append(
+            f"| {name} | {r['steps']} | {r['sample_seconds_100']} "
+            f"| {100 / r['sample_seconds_100']:.1f} |"
+        )
+    lines += [
+        "",
+        "Generated by `scripts/fewstep_quality.py`; raw numbers in",
+        "`FEWSTEP.json`.",
+    ]
+    (REPO / "docs" / "FEWSTEP.md").write_text("\n".join(lines) + "\n")
+    (REPO / "FEWSTEP.json").write_text(json.dumps(results, indent=1))
+    log("wrote docs/FEWSTEP.md / FEWSTEP.json")
+
+
+if __name__ == "__main__":
+    main()

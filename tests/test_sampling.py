@@ -241,3 +241,55 @@ def test_picard_window_one_and_tiny_chain():
                             window=w, tol=1e-7)
         np.testing.assert_allclose(np.asarray(par), np.asarray(seq),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_ddim_clip_denoised_bounds_output():
+    # same contract as the ancestral clip: an out-of-range-x0 denoiser
+    # escapes unclipped, stays bounded clipped (the few-step serving
+    # failure measured in FEWSTEP.json)
+    from diffusionmodelscustom_tpu.sampling import ddim_sample
+
+    diff = GaussianDiffusion.create(n_timesteps=100)
+    target = 5.0
+
+    def denoise_fn(x, t):
+        ab = diff.alpha_bar[t].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(ab) * target) / jnp.sqrt(1 - ab)
+
+    raw = ddim_sample(
+        denoise_fn, diff, jax.random.key(0), (2, 8, 8, 1), num_steps=10
+    )
+    clipped = ddim_sample(
+        denoise_fn, diff, jax.random.key(0), (2, 8, 8, 1), num_steps=10,
+        clip_denoised=True,
+    )
+    assert float(jnp.max(raw)) > 2.0
+    assert float(jnp.max(jnp.abs(clipped))) < 1.5
+    # in-range denoiser: clipping is a no-op
+    c = 0.4
+
+    def good_fn(x, t):
+        ab = diff.alpha_bar[t].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(ab) * c) / jnp.sqrt(1 - ab)
+
+    a = ddim_sample(good_fn, diff, jax.random.key(1), (2, 8, 8, 1), num_steps=10)
+    b = ddim_sample(good_fn, diff, jax.random.key(1), (2, 8, 8, 1),
+                    num_steps=10, clip_denoised=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dpmpp_clip_denoised_bounds_output():
+    from diffusionmodelscustom_tpu.sampling import dpmpp_2m_sample
+
+    diff = GaussianDiffusion.create(n_timesteps=100)
+    target = 5.0
+
+    def denoise_fn(x, t):
+        ab = diff.alpha_bar[t].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(ab) * target) / jnp.sqrt(1 - ab)
+
+    clipped = dpmpp_2m_sample(
+        denoise_fn, diff, jax.random.key(0), (2, 8, 8, 1), num_steps=10,
+        clip_denoised=True,
+    )
+    assert float(jnp.max(jnp.abs(clipped))) < 1.5
