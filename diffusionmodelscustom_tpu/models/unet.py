@@ -198,6 +198,10 @@ class ConditionalUNet(nn.Module):
     # attention QK logit matmuls (ops/flash_attention.py int8 kernel).
     # Approximate; keep False for training and exact-parity sampling.
     conv_quant: bool = False
+    # Serving-only, on top of conv_quant: also quantize the attention PV
+    # matmul (ops/flash_attention.py int8 QK+PV kernel) so both attention
+    # contractions run at the MXU's 2x int8 rate.
+    attn_pv_int8: bool = False
     # Route the narrow (<128ch) convs through the exact Pallas im2col
     # kernel (ops/im2col_conv.py) — packs the 3x3 taps into the MXU
     # contraction where XLA's direct conv half-fills the lanes. Exact and
@@ -275,6 +279,7 @@ class ConditionalUNet(nn.Module):
                     n_heads=heads_for(h.shape[-1]),
                     use_ffn=True,
                     qk_int8=self.conv_quant,
+                    pv_int8=self.conv_quant and self.attn_pv_int8,
                     dtype=self.dtype,
                     name=f"sa_down{i}",
                 )(h)
@@ -303,6 +308,7 @@ class ConditionalUNet(nn.Module):
                     n_heads=heads_for(h.shape[-1]),
                     use_ffn=True,
                     qk_int8=self.conv_quant,
+                    pv_int8=self.conv_quant and self.attn_pv_int8,
                     dtype=self.dtype,
                     name=f"sa_up{i + 1}",
                 )(h)

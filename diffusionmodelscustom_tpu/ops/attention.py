@@ -33,13 +33,21 @@ def attention_core(
     *,
     use_flash: Optional[bool] = None,
     qk_int8: bool = False,
+    pv_int8: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention. q/k/v: (B, S, H, D) -> (B, S, H, D).
 
     ``use_flash=None`` auto-selects the Pallas kernel on TPU backends.
     ``qk_int8`` routes through the serving-only dynamic-int8 QK path
-    (ops/flash_attention.py) on any backend.
+    (ops/flash_attention.py) on any backend; ``pv_int8`` additionally
+    quantizes the PV matmul (implies qk_int8).
     """
+    if pv_int8:
+        from .flash_attention import (
+            _qkpv_int8_attention, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+        )
+
+        return _qkpv_int8_attention(q, k, v, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
     if qk_int8:
         from .flash_attention import _qk_int8_attention, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K
 
@@ -68,6 +76,7 @@ class MultiHeadSelfAttention(nn.Module):
     n_heads: int
     use_flash: Optional[bool] = None
     qk_int8: bool = False
+    pv_int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -81,7 +90,8 @@ class MultiHeadSelfAttention(nn.Module):
         k = k.reshape(b, s, self.n_heads, head_dim)
         v = v.reshape(b, s, self.n_heads, head_dim)
         out = attention_core(
-            q, k, v, use_flash=self.use_flash, qk_int8=self.qk_int8
+            q, k, v, use_flash=self.use_flash, qk_int8=self.qk_int8,
+            pv_int8=self.pv_int8,
         )
         out = out.reshape(b, s, c)
         return nn.Dense(c, dtype=self.dtype, name="out")(out)
@@ -100,6 +110,7 @@ class ImageSelfAttention(nn.Module):
     use_ffn: bool = False
     use_flash: Optional[bool] = None
     qk_int8: bool = False
+    pv_int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -111,6 +122,7 @@ class ImageSelfAttention(nn.Module):
             self.n_heads,
             use_flash=self.use_flash,
             qk_int8=self.qk_int8,
+            pv_int8=self.pv_int8,
             dtype=self.dtype,
             name="mha",
         )(normed)

@@ -414,6 +414,141 @@ def _flash_bhsd_i8(q, k, v, block_q: int, block_k: int):
     return out[:, :, :d]
 
 
+def _flash_kernel_i8pv(
+    q_ref, k_ref, v_ref, sc_ref, sv_ref, o_ref, m_scr, l_scr, acc_scr
+):
+    """int8 QK *and* PV forward: both matmuls run at the MXU's int8 rate.
+
+    The softmax probabilities are quantized per (row, K-block) with the
+    local row max as the scale (p_norm = exp2(s2 - m_cur) is in (0, 1],
+    so round(p_norm * 127) uses the full int8 range in every block) —
+    a diffuse row whose block is far below the running max contributes
+    through the f32 ``rowmax = exp2(m_cur - m_new)`` rescale instead of
+    rounding to zero, the failure mode of quantizing against the global
+    max. Numerator and denominator both use the quantized p, so the
+    1/127 factors cancel in the finalize; V's per-slab scale is applied
+    once at the end.
+    """
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (BQ, D) int8
+    k = k_ref[0]  # (BK, D) int8
+    v = v_ref[0]  # (BK, D) int8
+    sc = sc_ref[0, 0, 0]  # f32 combined QK dequant scale (base-2 domain)
+
+    s2 = sc * jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+    m_prev = m_scr[:]
+    l_prev = l_scr[:]
+    m_cur = jnp.max(s2, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    rowmax = jnp.exp2(m_cur - m_new)  # (BQ, 1) block's weight vs history
+    p_i8 = jnp.round(jnp.exp2(s2 - m_cur) * 127.0).astype(jnp.int8)
+    pv = jax.lax.dot_general(
+        p_i8,
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    l_new = l_prev * alpha + (
+        jnp.sum(p_i8.astype(jnp.float32), axis=-1, keepdims=True) * rowmax
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv * rowmax
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        sv = sv_ref[0, 0, 0]
+        o_ref[0] = (acc_scr[:] / l_scr[:] * sv).astype(o_ref.dtype)
+
+
+def _flash_bhsd_i8pv(q, k, v, block_q: int, block_k: int):
+    """int8 QK+PV flash forward on (BH, S, D) float slabs."""
+    bh, s, d = q.shape
+    out_dtype = v.dtype
+    sm_scale = d ** -0.5
+    qi, sq = _quantize_rows(q)
+    ki, sk = _quantize_rows(k)
+    vi, sv = _quantize_rows(v)
+    sc = (sq * sk * (sm_scale * _LOG2_E)).astype(jnp.float32).reshape(bh, 1, 1)
+    svr = sv.astype(jnp.float32).reshape(bh, 1, 1)
+
+    d_pad = max(128, ((d + 127) // 128) * 128)
+    if d_pad != d:
+        pad = [(0, 0), (0, 0), (0, d_pad - d)]
+        qi, ki, vi = (jnp.pad(x, pad) for x in (qi, ki, vi))
+
+    grid = (bh, s // block_q, s // block_k)
+    out = pl.pallas_call(
+        _flash_kernel_i8pv,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i, j, kb: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i, j, kb: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, kb: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d_pad), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qi, ki, vi, sc, svr)
+    return out[:, :, :d]
+
+
+def _reference_attention_qkpv_int8(q, k, v):
+    """einsum mirror of _flash_bhsd_i8pv at block_k == S granularity:
+    int8 logits, p quantized against the per-row softmax max (rowmax = 1
+    when the whole row is one block), int8 PV with the per-slab V scale."""
+    b, s, h, d = q.shape
+    to_slab = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    qi, sq = _quantize_rows(to_slab(q))
+    ki, sk = _quantize_rows(to_slab(k))
+    vi, sv = _quantize_rows(to_slab(v))
+    sc = (sq * sk * d ** -0.5).reshape(b * h, 1, 1)
+    logits = (
+        jax.lax.dot_general(
+            qi,
+            ki,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        * sc
+    )  # (BH, S, S)
+    p = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    p_i8 = jnp.round(p * 127.0).astype(jnp.int8)
+    pv = jax.lax.dot_general(
+        p_i8,
+        vi,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    l = jnp.sum(p_i8.astype(jnp.float32), axis=-1, keepdims=True)
+    out = (pv / l) * sv[:, :, None]
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3).astype(v.dtype)
+
+
 def _reference_attention_qk_int8(q, k, v):
     """einsum path with int8 QK at the same per-(b,h) granularity as the
     kernel — the CPU-testable mirror of _flash_bhsd_i8."""
@@ -471,6 +606,31 @@ _qk_int8_attention.defvjp(_qk_int8_fwd, _qk_int8_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _qkpv_int8_attention(q, k, v, block_q, block_k):
+    b, s, h, d = q.shape
+    bq = min(block_q, s)
+    bk = min(block_k, s)
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and s % bq == 0
+        and s % bk == 0
+        and s >= 512
+    )
+    if not use_kernel:
+        return _reference_attention_qkpv_int8(q, k, v)
+    to_slab = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    out = _flash_bhsd_i8pv(to_slab(q), to_slab(k), to_slab(v), bq, bk)
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+def _qkpv_int8_fwd(q, k, v, block_q, block_k):
+    return _qkpv_int8_attention(q, k, v, block_q, block_k), None
+
+
+_qkpv_int8_attention.defvjp(_qkpv_int8_fwd, _qk_int8_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_slab(q, k, v, block_q: int, block_k: int):
     out, _lse = _flash_bhsd(q, k, v, block_q, block_k)
     return out
@@ -505,6 +665,7 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     qk_int8: bool = False,
+    pv_int8: bool = False,
 ) -> jnp.ndarray:
     """Self-attention with (B, S, H, D) layout, fused on TPU.
 
@@ -517,8 +678,12 @@ def flash_attention(
 
     ``qk_int8=True`` selects the serving-only dynamic-int8 QK kernel
     (2x MXU rate on the logit matmul; raises on differentiation).
+    ``pv_int8=True`` additionally quantizes the PV matmul (implies
+    qk_int8) so both MXU contractions run at the int8 rate.
     """
     b, s, h, d = q.shape
+    if pv_int8:
+        return _qkpv_int8_attention(q, k, v, block_q, block_k)
     if qk_int8:
         return _qk_int8_attention(q, k, v, block_q, block_k)
     block_q = min(block_q, s)

@@ -56,20 +56,25 @@ def main():
         v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
 
         exact = jax.jit(lambda qq: attention_core(qq, k, v, use_flash=False))
-        flash = jax.jit(lambda qq: attention_core(qq, k, v, use_flash=True))
         i8 = jax.jit(lambda qq: attention_core(qq, k, v, qk_int8=True))
+        i8pv = jax.jit(lambda qq: attention_core(qq, k, v, pv_int8=True))
 
         o_e = np.asarray(jax.device_get(exact(q)), np.float32)
         o_i = np.asarray(jax.device_get(i8(q)), np.float32)
-        rel = np.max(np.abs(o_e - o_i)) / (np.max(np.abs(o_e)) + 1e-9)
+        o_p = np.asarray(jax.device_get(i8pv(q)), np.float32)
+        me = np.max(np.abs(o_e)) + 1e-9
+        rel = np.max(np.abs(o_e - o_i)) / me
+        rel_pv = np.max(np.abs(o_e - o_p)) / me
         ms_f = chain_time(lambda qq: attention_core(qq, k, v, use_flash=True), q)
         ms_i = chain_time(lambda qq: attention_core(qq, k, v, qk_int8=True), q)
+        ms_p = chain_time(lambda qq: attention_core(qq, k, v, pv_int8=True), q)
         flops = 4 * b * h * s * s * d
         log(
-            f"B{b} S{s} H{h} D{d}: rel_err={rel:.4f}  "
+            f"B{b} S{s} H{h} D{d}: qk_rel={rel:.4f} pv_rel={rel_pv:.4f}  "
             f"flash {ms_f:6.2f} ms ({flops/ms_f/1e9:5.1f} TF/s)  "
-            f"int8 {ms_i:6.2f} ms ({flops/ms_i/1e9:5.1f} TF/s)  "
-            f"speedup {ms_f/ms_i:.2f}x"
+            f"qk8 {ms_i:6.2f} ms ({flops/ms_i/1e9:5.1f} TF/s)  "
+            f"qkpv8 {ms_p:6.2f} ms ({flops/ms_p/1e9:5.1f} TF/s)  "
+            f"qkpv vs flash {ms_f/ms_p:.2f}x"
         )
 
 

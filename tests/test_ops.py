@@ -241,6 +241,26 @@ class TestQKInt8Attention:
                 lambda qq: attention_core(qq, k, v, qk_int8=True).sum()
             )(q)
 
+    def test_pv_int8_close_to_exact(self):
+        # QK+PV int8 (both MXU contractions quantized): still within the
+        # serving-mode tolerance of the exact path
+        from diffusionmodelscustom_tpu.ops.attention import attention_core
+
+        q, k, v = self._qkv()
+        ref = attention_core(q, k, v, use_flash=False)
+        i8 = attention_core(q, k, v, pv_int8=True)
+        rel = float(jnp.max(jnp.abs(ref - i8))) / float(jnp.max(jnp.abs(ref)))
+        assert rel < 0.05, rel
+
+    def test_pv_int8_grad_raises(self):
+        from diffusionmodelscustom_tpu.ops.attention import attention_core
+
+        q, k, v = self._qkv(s=16, d=8)
+        with pytest.raises(NotImplementedError, match="serving-only"):
+            jax.grad(
+                lambda qq: attention_core(qq, k, v, pv_int8=True).sum()
+            )(q)
+
     def test_model_serving_mode_runs(self):
         # conv_quant=True now also quantizes attention QK; forward runs
         # and stays close to the exact model
@@ -264,3 +284,10 @@ class TestQKInt8Attention:
         denom = float(jnp.max(jnp.abs(y))) + 1e-6
         rel = float(jnp.max(jnp.abs(y - yq))) / denom
         assert rel < 0.35, rel
+        # attn_pv_int8 stacks PV quantization on the same params
+        ypv = ConditionalUNet(
+            conv_quant=True, attn_pv_int8=True, **kw
+        ).apply(params, x, t)
+        assert ypv.shape == y.shape
+        rel_pv = float(jnp.max(jnp.abs(y - ypv))) / denom
+        assert rel_pv < 0.35, rel_pv
