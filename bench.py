@@ -9,6 +9,8 @@ reference-equivalent benchmark configs from BASELINE.md:
     danra64cond  64x64 conditional lsm+topo+sdf (config #3)
     danra128     128x128 conditional, the primary metric (config #4)
     danra128int8 same, dynamic-int8 serving mode (approximate; ~+8%)
+    danra128serve 25-step clamped DDIM + int8: the few-step serving path
+                 (quality measured in docs/FEWSTEP.md)
     latency      batch-1 danra128 sampling latency (serving SLO view)
     cascade      imagen base64+SR128 elucidated cascade sampling (config #5)
     train        training steps/sec on the danra128 config
@@ -103,17 +105,19 @@ def _time_sampler(sample_fn, batch):
 
 
 def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = "",
-                conv_quant: bool = False):
+                conv_quant: bool = False, pv_int8: bool = False,
+                num_steps: int | None = None):
     from __graft_entry__ import _example_batch, _flagship
     from diffusionmodelscustom_tpu.core import GaussianDiffusion
     from diffusionmodelscustom_tpu.models import ConditionalUNet
-    from diffusionmodelscustom_tpu.sampling import ancestral_sample
+    from diffusionmodelscustom_tpu.sampling import ancestral_sample, ddim_sample
 
     if conditional:
         model = _flagship()
         if conv_quant:
-            # serving mode: dynamic int8 on the >=128ch convs
-            model = model.clone(conv_quant=True)
+            # serving mode: dynamic int8 on the >=128ch convs (and the
+            # attention QK — plus PV when pv_int8)
+            model = model.clone(conv_quant=True, attn_pv_int8=pv_int8)
         cond = _example_batch(jax.random.key(2), batch, size)
         params = model.init(
             jax.random.key(0),
@@ -145,14 +149,25 @@ def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = "",
             return model.apply({"params": params}, x, t)
 
     diffusion = GaussianDiffusion.create(n_timesteps=N_TIMESTEPS)
-    sample_fn = jax.jit(
-        lambda key: ancestral_sample(
-            denoise, diffusion, key, (batch, size, size, 1)
+    if num_steps is not None:
+        # few-step serving: DDIM sub-sequence with x0 clamping (the
+        # quality-measured configuration, docs/FEWSTEP.md)
+        sample_fn = jax.jit(
+            lambda key: ddim_sample(
+                denoise, diffusion, key, (batch, size, size, 1),
+                num_steps=num_steps, clip_denoised=True,
+            )
         )
-    )
+    else:
+        sample_fn = jax.jit(
+            lambda key: ancestral_sample(
+                denoise, diffusion, key, (batch, size, size, 1)
+            )
+        )
     sps = _time_sampler(sample_fn, batch)
     key = "mnist" if size == 32 else ("danra128" if size == 128 else ("danra64cond" if conditional else "danra64"))
-    emit(tag, sps, "samples/sec/chip", sps / ref_a100_sps(key))
+    emit(tag, sps, "samples/sec/chip",
+         sps / ref_a100_sps(key, n_steps=num_steps or N_TIMESTEPS))
 
 
 def bench_mnist():
@@ -276,7 +291,8 @@ def main() -> None:
         "--config",
         default="danra128",
         choices=["mnist", "danra64", "danra64cond", "danra128",
-                 "danra128int8", "latency", "cascade", "cascadeint8",
+                 "danra128int8", "danra128serve", "latency", "cascade",
+                 "cascadeint8",
                  "train"],
     )
     args = parser.parse_args()
@@ -320,6 +336,14 @@ def main() -> None:
         bench_danra(128, conditional=True, batch=32,
                     tag="danra128_cond_ddpm1000_sampling_int8",
                     conv_quant=True)
+    elif args.config == "danra128serve":
+        # few-step serving: 25-step clamped DDIM (the distillation-
+        # validated budget, docs/FEWSTEP.md) + int8 serving mode.
+        # vs_baseline projects the reference at the SAME 25-step budget
+        # (it has no few-step sampler, so this flatters it maximally).
+        bench_danra(128, conditional=True, batch=32,
+                    tag="danra128_cond_ddim25_int8_serving",
+                    conv_quant=True, num_steps=25)
     elif args.config == "danra64":
         bench_danra(64, conditional=False, batch=16, tag="danra64_uncond_ddpm1000")
     elif args.config == "danra64cond":

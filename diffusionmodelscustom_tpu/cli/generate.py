@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--conv_quant", action="store_true",
                    help="dynamic-int8 serving convs (flagship only; "
                         "approximate, ~+8%% throughput)")
+    p.add_argument("--attn_pv_int8", action="store_true",
+                   help="with --conv_quant: also quantize the attention "
+                        "PV matmul (full int8 attention)")
     p.add_argument("--out_dir", type=str, default=None)
     return p
 

@@ -81,7 +81,10 @@ def load_inference_setup(
     if getattr(args, "conv_quant", False):
         if not hasattr(model, "conv_quant"):
             raise SystemExit("--conv_quant requires the flagship model family")
-        model = model.clone(conv_quant=True)
+        model = model.clone(
+            conv_quant=True,
+            attn_pv_int8=getattr(args, "attn_pv_int8", False),
+        )
 
     return model, params, batch_stats, sampler_name, steps
 

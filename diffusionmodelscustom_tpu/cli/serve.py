@@ -50,6 +50,9 @@ def build_serve_parser():
                    help="cli.distill output dir (params + manifest)")
     p.add_argument("--conv_quant", action="store_true",
                    help="dynamic-int8 serving convs (flagship only)")
+    p.add_argument("--attn_pv_int8", action="store_true",
+                   help="with --conv_quant: also quantize the attention "
+                        "PV matmul (full int8 attention)")
     return p
 
 
