@@ -285,6 +285,42 @@ def bench_train():
     emit("danra128_cond_train", sps, "steps/sec/chip", sps / ref_train_sps)
 
 
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """Block until the accelerator answers a round-trip fetch.
+
+    The remote TPU tunnel can be transiently UNAVAILABLE (e.g. right
+    after a round restart or while recovering from a crashed kernel —
+    it wedges for a few minutes and then comes back). Backend init
+    failures are cached per-process, so each attempt runs in a fresh
+    subprocess; the parent proceeds once a child sees the device.
+    """
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np;"
+                 "np.asarray(jax.device_get(jax.numpy.ones((8, 8)).ravel()[:4]))"],
+                capture_output=True, timeout=max(120, deadline - time.time()),
+            )
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            if attempt > 1:
+                log(f"backend recovered after {attempt} attempts")
+            return
+        if time.time() >= deadline:
+            log("backend never became available; proceeding (will fail fast)")
+            return
+        log(f"backend unavailable (attempt {attempt}); retrying in 30s")
+        time.sleep(30)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -296,6 +332,7 @@ def main() -> None:
                  "train"],
     )
     args = parser.parse_args()
+    _wait_for_backend()
     log(f"backend={jax.default_backend()} devices={len(jax.devices())} "
         f"config={args.config}")
 

@@ -106,6 +106,12 @@ class Trainer:
         # channels are reconstructed on device). None -> batches are the
         # usual dicts.
         self._batch_finisher = batch_finisher
+        if config.loss not in ("simple", "mse", "l1", "huber",
+                               "sdfweighted", "hybrid"):
+            raise ValueError(
+                f"unknown loss {config.loss!r}; "
+                "options: simple|mse|l1|huber|sdfweighted|hybrid"
+            )
         schedule = None
         plateau_patience = None
         if config.lr_scheduler == "warmup_cosine":
