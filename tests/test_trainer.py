@@ -227,3 +227,13 @@ def test_unknown_scheduler_rejected():
     diff = GaussianDiffusion.create(n_timesteps=10)
     with pytest.raises(ValueError, match="lr_scheduler"):
         Trainer(model, diff, TrainerConfig(lr_scheduler="bogus"))
+
+
+def test_unknown_loss_rejected_eagerly():
+    import pytest
+
+    model = tiny_model()
+    diff = GaussianDiffusion.create(n_timesteps=10)
+    # at construction, not at the first jitted step
+    with pytest.raises(ValueError, match="unknown loss"):
+        Trainer(model, diff, TrainerConfig(loss="bogus"))
