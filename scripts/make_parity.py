@@ -305,7 +305,7 @@ def main():
         "",
         f"For each variant: 100 real DANRA fields split 80/20 (seeded),",
         f"trained on the 80 TRAIN fields only ({TRAIN_STEPS} steps —",
-        f"{max(VARIANT_STEPS.values())} steps + dihedral (D4) data",
+        f"{max(VARIANT_STEPS.values(), default=TRAIN_STEPS)} steps + dihedral (D4) data",
         f"augmentation for the weak-signal uniform",
         f"variant — batch",
         f"{BATCH}, sdf-weighted loss, T={N_TIMESTEPS} linear schedule — the",
