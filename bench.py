@@ -247,6 +247,11 @@ def bench_cascade(quant: bool = False):
         per_fwd += float(cost.get("flops", 0.0))
     evals = 2 * 32 - 1  # Heun: 2 evals/step, 1 on the last
     cascade_flops = evals * per_fwd / batch
+    if cascade_flops <= 0.0:
+        # cost_analysis() omitted 'flops' (backend-dependent): fall back to
+        # the round-4 XLA-measured 6154 GF/sample instead of dividing by 0
+        log("cost_analysis returned no flops; using measured 6154 GF/sample")
+        cascade_flops = 6.154e12
     log(f"measured cascade FLOPs/sample: {cascade_flops/1e9:.1f} GF "
         f"({per_fwd/1e9:.1f} GF/eval-pair at batch {batch})")
     ref_sps = A100_BF16_PEAK * REF_UTIL / cascade_flops
@@ -305,7 +310,10 @@ def _wait_for_backend(max_wait_s: float = 900.0) -> None:
                 [sys.executable, "-c",
                  "import jax, numpy as np;"
                  "np.asarray(jax.device_get(jax.numpy.ones((8, 8)).ravel()[:4]))"],
-                capture_output=True, timeout=max(120, deadline - time.time()),
+                capture_output=True,
+                # per-attempt cap: a hang-mode probe must not eat the whole
+                # budget, or the fresh-process retry loop below never runs
+                timeout=min(120.0, max(10.0, deadline - time.time())),
             )
             ok = r.returncode == 0
         except subprocess.TimeoutExpired:

@@ -318,7 +318,7 @@ def main():
         "",
     ]
     totals = {"calibration": [0, 0], "heldout": [0, 0]}
-    for v in VARIANTS:
+    for v in variants:  # the --only-filtered list ours_cards is keyed by
         short = v.split("__")[0] + "/" + (
             "sdfw" if "sdfweighted" in v else "simple")
         if "ValLoss" in v:

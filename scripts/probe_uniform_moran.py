@@ -53,7 +53,8 @@ def augment(batch: dict, rng: np.random.Generator, mode: str) -> dict:
     spatial keys (img/img_cond/lsm/topo/sdf are geographically locked)."""
     if mode == "none":
         return batch
-    spatial = ["img", "img_cond", "lsm", "topo", "sdf"]
+    spatial = [k for k in ("img", "img_cond", "lsm", "topo", "sdf")
+               if k in batch]
     n = len(batch["img"])
     out = {k: v.copy() if k in spatial else v for k, v in batch.items()}
     flips_h = rng.random(n) < 0.5
@@ -77,6 +78,12 @@ def main():
     ap.add_argument("--aug", default="d4", choices=["none", "flip", "d4"])
     ap.add_argument("--steps", type=int, default=24000)
     ap.add_argument("--ema_decay", type=float, default=0.995)
+    ap.add_argument("--cond_jitter", type=float, default=0.0,
+                    help="train-time per-sample scalar noise (std, scaled "
+                         "units) added to the uniform cond image — the "
+                         "Imagen lowres-aug trick applied to the mean-value "
+                         "condition, so the cond->field mapping generalizes "
+                         "to held-out cond values")
     ap.add_argument("--tag", default="")
     args = ap.parse_args()
 
@@ -140,6 +147,10 @@ def main():
         idx = train_idx[order_rng.choice(len(train_idx), BATCH, replace=False)]
         batch = {k: v[idx] for k, v in batch_all.items()}
         batch = augment(batch, aug_rng, args.aug)
+        if args.cond_jitter:
+            batch["img_cond"] = batch["img_cond"] + aug_rng.normal(
+                0.0, args.cond_jitter, (len(idx), 1, 1, 1)
+            ).astype(np.float32)
         state, m = trainer.train_step(state, batch, jax.random.fold_in(rng, step))
         if step % 2000 == 0:
             log(f"  step {step}: loss={float(jax.device_get(m['loss'])):.4f}"
