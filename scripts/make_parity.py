@@ -2,7 +2,7 @@
 ground-truth npz artifacts (BASELINE.md / round-2 VERDICT item 3).
 
 Protocol:
-1. Yardstick — for each of the reference's 5 trained variants, score its
+1. Yardstick — for each of the reference's 6 trained variants, score its
    OWN generated samples against its truth fields
    (final_generated_samples/*.npz, the only reference outputs that exist)
    with the full metric suite (ocean-masked MAE/RMSE/bias, Moran's I,
@@ -79,6 +79,11 @@ VARIANT_STEPS = {_UNIFORM: 24000}
 # item 4 residual); all spatial keys transform together so geography
 # stays locked. Measured by scripts/probe_uniform_moran.py.
 VARIANT_AUG = {_UNIFORM: "d4"}
+# per-sample scalar noise (std, scaled units) on the cond image at train
+# time — the Imagen lowres-aug trick applied to the mean-value condition
+# so the cond->field mapping generalizes to held-out cond values.
+# Populated per probe_uniform_moran.py measurements; empty = off.
+VARIANT_COND_JITTER: dict = {}
 DATA_MIN, DATA_MAX = -15.0, 30.0  # Celsius scale range for [-1, 1]
 
 
@@ -205,10 +210,15 @@ def main():
         order_rng = np.random.default_rng(0)
         aug_rng = np.random.default_rng(1)
         aug_mode = VARIANT_AUG.get(variant, "none")
+        cond_jitter = VARIANT_COND_JITTER.get(variant, 0.0)
         for step in range(train_steps):
             idx = train_idx[order_rng.choice(len(train_idx), BATCH, replace=False)]
             batch = {k: v[idx] for k, v in batch_all.items()}
             batch = augment(batch, aug_rng, aug_mode)
+            if cond_jitter and "img_cond" in batch:
+                batch["img_cond"] = batch["img_cond"] + aug_rng.normal(
+                    0.0, cond_jitter, (len(idx), 1, 1, 1)
+                ).astype(np.float32)
             state, m = trainer.train_step(state, batch, jax.random.fold_in(rng, step))
             if step % 1000 == 0:
                 log(f"  step {step}: loss={float(jax.device_get(m['loss'])):.4f}"
@@ -277,7 +287,7 @@ def main():
         "# PARITY — statistical validation vs the reference's shipped outputs",
         "",
         "Ground truth: `DDPM_DANRA_conditional/final_generated_samples/*.npz`",
-        "(5 trained variants x 100 samples @64x64 — the only reference outputs",
+        "(6 trained variants x 100 samples @64x64 — the only reference outputs",
         "that exist; generation_DANRA_conditional.py:431-441 bundle format).",
         "",
         "## 1. Reference yardstick (each variant's gen vs its truth)",
