@@ -383,12 +383,14 @@ def main() -> None:
                     conv_quant=True)
     elif args.config == "danra128serve":
         # few-step serving: 25-step clamped DDIM (the distillation-
-        # validated budget, docs/FEWSTEP.md) + int8 serving mode.
+        # validated budget, docs/FEWSTEP.md) + the FULL int8 serving mode
+        # (dynamic-int8 convs + int8 QK/PV attention — the configuration
+        # __graft_entry__._dryrun_serving validates on the mesh).
         # vs_baseline projects the reference at the SAME 25-step budget
         # (it has no few-step sampler, so this flatters it maximally).
         bench_danra(128, conditional=True, batch=32,
                     tag="danra128_cond_ddim25_int8_serving",
-                    conv_quant=True, num_steps=25)
+                    conv_quant=True, pv_int8=True, num_steps=25)
     elif args.config == "danra64":
         bench_danra(64, conditional=False, batch=16, tag="danra64_uncond_ddpm1000")
     elif args.config == "danra64cond":

@@ -137,6 +137,18 @@ class GaussianDiffusion:
         a_bar = _extract(self.alpha_bar, t, x_t).astype(x_t.dtype)
         return (x_t - jnp.sqrt(1.0 - a_bar) * noise) * jax.lax.rsqrt(a_bar)
 
+    def clip_eps(
+        self, x_t: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Re-express eps so the implied x0 lies in [-1, 1] (clip_denoised).
+
+        Shared by the ancestral and DDIM samplers so the clamp-and-invert
+        math has exactly one definition.
+        """
+        a_bar = _extract(self.alpha_bar, t, x_t).astype(x_t.dtype)
+        x0 = jnp.clip(self.pred_x0_from_noise(x_t, t, noise), -1.0, 1.0)
+        return (x_t - jnp.sqrt(a_bar) * x0) * jax.lax.rsqrt(1.0 - a_bar)
+
     def ddim_step(
         self,
         x: jnp.ndarray,
@@ -160,9 +172,7 @@ class GaussianDiffusion:
             _extract(self.alpha_bar, jnp.maximum(t_prev, 0), x),
             jnp.ones_like(a_bar_t),
         ).astype(x.dtype)
-        x0_hat = (x - jnp.sqrt(1.0 - a_bar_t) * predicted_noise) * jax.lax.rsqrt(
-            a_bar_t
-        )
+        x0_hat = self.pred_x0_from_noise(x, t, predicted_noise)
         if clip_denoised:
             # standard x0 clamp (Ho et al. clip_denoised; data lives in
             # [-1, 1]); re-derive eps from the clamped x0 so the step's

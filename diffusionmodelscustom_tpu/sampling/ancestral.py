@@ -47,21 +47,6 @@ def _predict(
     return eps
 
 
-def _clip_eps(
-    diffusion: GaussianDiffusion,
-    x: jnp.ndarray,
-    t: jnp.ndarray,
-    eps: jnp.ndarray,
-) -> jnp.ndarray:
-    """Re-express eps so the implied x0 lies in [-1, 1] (clip_denoised)."""
-    a_bar = diffusion.alpha_bar[t].reshape((-1,) + (1,) * (x.ndim - 1))
-    a_bar = a_bar.astype(x.dtype)
-    sqrt_ab = jnp.sqrt(a_bar)
-    sqrt_1mab = jnp.sqrt(1.0 - a_bar)
-    x0 = jnp.clip((x - sqrt_1mab * eps) / sqrt_ab, -1.0, 1.0)
-    return (x - sqrt_ab * x0) / sqrt_1mab
-
-
 def ancestral_sample(
     denoise_fn: DenoiseFn,
     diffusion: GaussianDiffusion,
@@ -97,7 +82,7 @@ def ancestral_sample(
         t = jnp.full((batch,), i, jnp.int32)
         eps = _predict(denoise_fn, uncond_fn, cfg_scale, x, t)
         if clip_denoised:
-            eps = _clip_eps(diffusion, x, t, eps)
+            eps = diffusion.clip_eps(x, t, eps)
         step_rng = jax.random.fold_in(rng_loop, i)
         z = jax.random.normal(step_rng, x.shape, x.dtype) * jnp.asarray(
             diffusion.noise_scale, x.dtype

@@ -267,9 +267,22 @@ def main():
     ours_cards = {
         v: run_variant(v, VARIANT_STEPS.get(v, TRAIN_STEPS)) for v in variants
     }
+    if args.steps or args.timesteps:
+        # smoke budgets must never overwrite the published artifacts
+        log("smoke budget overrides present; forcing no_write")
+        args.no_write = True
     if args.no_write:
         log("smoke run complete (no_write)")
         return
+
+    # merge into the existing scorecards so an --only rerun of one
+    # variant cannot destroy the others' published results
+    parity_json = REPO / "PARITY.json"
+    if parity_json.exists():
+        prior = json.loads(parity_json.read_text()).get("ours", {})
+        prior.update(ours_cards)
+        ours_cards = prior
+    written = [v for v in VARIANTS if v in ours_cards]
 
     # ---- 3. write PARITY.md ---------------------------------------------
     cols = [
@@ -314,11 +327,12 @@ def main():
         "## 2. Our side (flagship UNet, held-out protocol, per variant)",
         "",
         f"For each variant: 100 real DANRA fields split 80/20 (seeded),",
-        f"trained on the 80 TRAIN fields only ({TRAIN_STEPS} steps —",
+        f"trained on the 80 TRAIN fields only ({TRAIN_STEPS} steps;",
         f"{max(VARIANT_STEPS.values(), default=TRAIN_STEPS)} steps + dihedral (D4) data",
-        f"augmentation for the weak-signal uniform",
-        f"variant — batch",
-        f"{BATCH}, sdf-weighted loss, T={N_TIMESTEPS} linear schedule — the",
+        f"augmentation for the weak-signal uniform variant; batch",
+        f"{BATCH}; each variant's own loss — sdf-weighted where the",
+        f"reference used it, simple otherwise; T={N_TIMESTEPS} linear",
+        "schedule — the",
         "reference's own config), then sampled all 100 with MATCHED",
         "conditioning through the 800-step ancestral sampler",
         "(clip_denoised — standard DDPM x0 clamping the reference lacks).",
@@ -328,7 +342,7 @@ def main():
         "",
     ]
     totals = {"calibration": [0, 0], "heldout": [0, 0]}
-    for v in variants:  # the --only-filtered list ours_cards is keyed by
+    for v in written:  # merged scorecards, canonical VARIANTS order
         short = v.split("__")[0] + "/" + (
             "sdfw" if "sdfweighted" in v else "simple")
         if "ValLoss" in v:
