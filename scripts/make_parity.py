@@ -379,6 +379,29 @@ def main():
         "Generated by `scripts/make_parity.py`; raw scorecards in",
         "`PARITY.json`.",
         "",
+        "## 3. The uniform held-out Moran's-I cell (measured tradeoff)",
+        "",
+        "The one cell that can lose is the uniform variant's held-out",
+        "Moran's I: the reference's generated fields are closer to the",
+        "truth's spatial autocorrelation — but only because they are",
+        "oversmoothed (the same reference gen loses RMSE ~10.8 vs ~2.3 degC",
+        "and every distributional metric on those fields). Probes",
+        "(`scripts/probe_uniform_moran.py`, v5e) show the cell trades off",
+        "directly against conditioning fidelity rather than being an",
+        "unexplored gap:",
+        "",
+        "| protocol change | held-out Moran | held-out RMSE (degC) |",
+        "|---|---|---|",
+        "| baseline (24k steps, D4 aug, EMA 0.995) | 0.745 | 2.27 |",
+        "| + cond jitter 0.05 (Imagen lowres-aug trick) | 0.783 | 11.46 |",
+        "| 48k steps, EMA 0.999 | 0.699 | 2.01 |",
+        "| reference gen (the bar) | 0.811 | 10.80 |",
+        "",
+        "Condition jitter closes most of the Moran gap by teaching the",
+        "model to ignore the mean-value condition (RMSE collapses to the",
+        "unconditional level); training longer sharpens texture and moves",
+        "Moran the other way. The protocol keeps the baseline recipe.",
+        "",
     ]
     (REPO / "PARITY.md").write_text("\n".join(lines))
     (REPO / "PARITY.json").write_text(
