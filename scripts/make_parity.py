@@ -73,12 +73,13 @@ N_TRAIN = 80  # held-out protocol: train on 80 of 100, score 80 + 20
 # give it 2x the budget
 _UNIFORM = next(v for v in VARIANTS if "uniform" in v)
 VARIANT_STEPS = {_UNIFORM: 24000}
-# dihedral data augmentation (random flips/rot90) for the small-data
-# regime: 80 training fields underdetermine held-out spatial smoothness
-# for the weak-signal uniform variant (Moran's-I cell, round-1 VERDICT
-# item 4 residual); all spatial keys transform together so geography
-# stays locked. Measured by scripts/probe_uniform_moran.py.
-VARIANT_AUG = {_UNIFORM: "d4"}
+# dihedral data augmentation (random flips/rot90) is a MEASURED
+# REGRESSION for this protocol: the 64x64 fields are one fixed
+# geography, so D4 dilutes the 80-field training set across 8 fake
+# geographies — uniform variant at 24k+D4 scored held-out Moran 0.644 /
+# RMSE 9.43 degC vs 0.745 / 2.27 without augmentation (and 48k+D4 only
+# reached 0.699 / 2.01). Keep empty; lever closed, see PARITY.md §3.
+VARIANT_AUG: dict = {}
 # per-sample scalar noise (std, scaled units) on the cond image at train
 # time — the Imagen lowres-aug trick applied to the mean-value condition
 # so the cond->field mapping generalizes to held-out cond values.
@@ -328,8 +329,8 @@ def main():
         "",
         f"For each variant: 100 real DANRA fields split 80/20 (seeded),",
         f"trained on the 80 TRAIN fields only ({TRAIN_STEPS} steps;",
-        f"{max(VARIANT_STEPS.values(), default=TRAIN_STEPS)} steps + dihedral (D4) data",
-        f"augmentation for the weak-signal uniform variant; batch",
+        f"{max(VARIANT_STEPS.values(), default=TRAIN_STEPS)} steps for the",
+        f"weak-signal uniform variant; batch",
         f"{BATCH}; each variant's own loss — sdf-weighted where the",
         f"reference used it, simple otherwise; T={N_TIMESTEPS} linear",
         "schedule — the",
@@ -392,15 +393,18 @@ def main():
         "",
         "| protocol change | held-out Moran | held-out RMSE (degC) |",
         "|---|---|---|",
-        "| baseline (24k steps, D4 aug, EMA 0.995) | 0.745 | 2.27 |",
-        "| + cond jitter 0.05 (Imagen lowres-aug trick) | 0.783 | 11.46 |",
-        "| 48k steps, EMA 0.999 | 0.699 | 2.01 |",
+        "| baseline (24k steps, no aug, EMA 0.995) | 0.745 | 2.27 |",
+        "| + dihedral (D4) augmentation | 0.644 | 9.43 |",
+        "| D4 + cond jitter 0.05 (Imagen lowres-aug trick) | 0.783 | 11.46 |",
+        "| D4, 48k steps, EMA 0.999 | 0.699 | 2.01 |",
         "| reference gen (the bar) | 0.811 | 10.80 |",
         "",
         "Condition jitter closes most of the Moran gap by teaching the",
         "model to ignore the mean-value condition (RMSE collapses to the",
-        "unconditional level); training longer sharpens texture and moves",
-        "Moran the other way. The protocol keeps the baseline recipe.",
+        "unconditional level); D4 augmentation dilutes the single fixed",
+        "geography across 8 fake ones and loses both columns; training",
+        "longer sharpens texture and moves Moran the other way. The",
+        "protocol keeps the baseline recipe.",
         "",
     ]
     (REPO / "PARITY.md").write_text("\n".join(lines))
