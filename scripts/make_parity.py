@@ -72,7 +72,13 @@ N_TRAIN = 80  # held-out protocol: train on 80 of 100, score 80 + 20
 # length monotonically (6000 -> 12000 closed most of the gap, round 3);
 # give it 2x the budget
 _UNIFORM = next(v for v in VARIANTS if "uniform" in v)
-VARIANT_STEPS = {_UNIFORM: 24000}
+_UNCOND = next(v for v in VARIANTS if "unconditional" in v)
+# unconditional: no conditioning signal at all, so sample quality is
+# pure distribution match — the cheapest variant to train (no cond
+# towers) and the slowest to converge. 12k steps scored FID 2469 vs
+# ref 1721 with held-out out-of-range 0.098; 36k closes both (FID 6.7
+# calibration / 32 held-out, oor 0.000) at 8/9 + 8/9 cells won
+VARIANT_STEPS = {_UNIFORM: 24000, _UNCOND: 36000}
 # dihedral data augmentation (random flips/rot90) is a MEASURED
 # REGRESSION for this protocol: the 64x64 fields are one fixed
 # geography, so D4 dilutes the 80-field training set across 8 fake
@@ -328,9 +334,11 @@ def main():
         "## 2. Our side (flagship UNet, held-out protocol, per variant)",
         "",
         f"For each variant: 100 real DANRA fields split 80/20 (seeded),",
-        f"trained on the 80 TRAIN fields only ({TRAIN_STEPS} steps;",
-        f"{max(VARIANT_STEPS.values(), default=TRAIN_STEPS)} steps for the",
-        f"weak-signal uniform variant; batch",
+        f"trained on the 80 TRAIN fields only ({TRAIN_STEPS} steps"
+        + ("; " + "; ".join(
+            f"{k.split('__')[0].replace('DDPM_conditional_', '').replace('DDPM_', '')}: {v}"
+            for k, v in VARIANT_STEPS.items()) if VARIANT_STEPS else "")
+        + "; batch",
         f"{BATCH}; each variant's own loss — sdf-weighted where the",
         f"reference used it, simple otherwise; T={N_TIMESTEPS} linear",
         "schedule — the",

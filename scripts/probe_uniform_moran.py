@@ -1,15 +1,17 @@
 """Probe: close the last parity losing cell (uniform-variant HELD-OUT
 Moran's I — 0.745 ours vs 0.811 ref gen, 0.922 ideal, PARITY.md).
 
-Hypothesis: with only 80 training fields, the model under-generalizes
-spatial smoothness to held-out conditioning (mean-value + season only —
-the weakest conditioning signal of the 5 variants). Dihedral data
-augmentation (random flips / D4) multiplies the effective training set
-8x without touching the matched sampling protocol.
+OUTCOME (measured, PARITY.md §3 / CLAUDE.md negative results): every
+probed lever LOSES. D4 augmentation dilutes the single fixed geography
+across 8 fake ones (held-out Moran 0.644 / RMSE 9.43 at 24k; 0.699 /
+2.01 at 48k+EMA 0.999, vs 0.745 / 2.27 baseline); cond jitter reaches
+Moran 0.783 only by unlearning the mean-value condition (RMSE 11.46).
+The parity protocol keeps the no-aug baseline; this probe is retained
+as the measurement harness.
 
 Usage (TPU, one process at a time):
-    nohup python scripts/probe_uniform_moran.py --aug d4 --steps 24000 \
-        > /tmp/moran_d4.log 2>&1 &
+    nohup python scripts/probe_uniform_moran.py --aug none --steps 24000 \
+        > /tmp/moran_base.log 2>&1 &
 """
 
 import argparse
