@@ -12,6 +12,8 @@ reference-equivalent benchmark configs from BASELINE.md:
     danra128serve 25-step clamped DDIM + int8: the few-step serving path
                  (quality measured in docs/FEWSTEP.md)
     latency      batch-1 danra128 sampling latency (serving SLO view)
+    latencyserve batch-1 few-step int8 serving latency (25-step DDIM;
+                 samples/s at batch 1 = 1/latency)
     cascade      imagen base64+SR128 elucidated cascade sampling (config #5)
     train        training steps/sec on the danra128 config
 
@@ -335,8 +337,8 @@ def main() -> None:
         "--config",
         default="danra128",
         choices=["mnist", "danra64", "danra64cond", "danra128",
-                 "danra128int8", "danra128serve", "latency", "cascade",
-                 "cascadeint8",
+                 "danra128int8", "danra128serve", "latency", "latencyserve",
+                 "cascade", "cascadeint8",
                  "train"],
     )
     args = parser.parse_args()
@@ -390,6 +392,12 @@ def main() -> None:
         # (it has no few-step sampler, so this flatters it maximally).
         bench_danra(128, conditional=True, batch=32,
                     tag="danra128_cond_ddim25_int8_serving",
+                    conv_quant=True, pv_int8=True, num_steps=25)
+    elif args.config == "latencyserve":
+        # batch-1 serving SLO on the few-step path: samples/s at batch 1
+        # is the inverse per-sample latency (the log line prints seconds)
+        bench_danra(128, conditional=True, batch=1,
+                    tag="danra128_cond_ddim25_int8_serving_b1",
                     conv_quant=True, pv_int8=True, num_steps=25)
     elif args.config == "danra64":
         bench_danra(64, conditional=False, batch=16, tag="danra64_uncond_ddpm1000")
