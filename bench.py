@@ -98,11 +98,22 @@ def _time_sampler(sample_fn, batch):
     t0 = time.perf_counter()
     _sync(sample_fn(jax.random.key(3)))
     log(f"sample compile+first: {time.perf_counter() - t0:.2f}s")
-    t0 = time.perf_counter()
-    _sync(sample_fn(jax.random.key(4)))
-    dt = time.perf_counter() - t0
+    # min-of-3 with varied inputs (CLAUDE.md timing discipline): the
+    # remote runtime stalls ~55-70 ms on the first timed execution of a
+    # fresh (executable, buffer) pair, which dominates sub-second runs
+    # (e.g. the 0.1 s batch-1 few-step configs). Long runs (>5 s) keep
+    # a single timed iteration — the stall is noise there.
+    times = []
+    for i, key in enumerate((4, 5, 6)):
+        t0 = time.perf_counter()
+        _sync(sample_fn(jax.random.key(key)))
+        times.append(time.perf_counter() - t0)
+        if times[0] > 5.0:
+            break
+    dt = min(times)
     sps = batch / dt
-    log(f"sample: {dt:.2f}s for batch {batch} -> {sps:.3f} samples/s/chip")
+    log(f"sample: {dt:.2f}s (min of {len(times)}) for batch {batch} "
+        f"-> {sps:.3f} samples/s/chip")
     return sps
 
 

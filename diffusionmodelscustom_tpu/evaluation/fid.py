@@ -103,6 +103,33 @@ def make_feature_net_weights(seed: int = 7, path: Optional[Path] = None) -> dict
 _CNN_CACHE: dict = {}
 
 
+def _conv2d_stride2_same(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """NHWC stride-2 SAME conv in pure numpy (float64 accumulation).
+
+    Deterministic on every machine and backend — the feature extractor
+    must NOT run through a compiler whose numerics depend on the device
+    (an earlier jitted version produced ~0.2% FID drift between the TPU
+    and CPU backends, which dominates small FID values)."""
+    kh, kw, cin, cout = w.shape
+    n, h, ww, _ = x.shape
+    oh, ow = -(-h // 2), -(-ww // 2)
+    pad_h = max((oh - 1) * 2 + kh - h, 0)
+    pad_w = max((ow - 1) * 2 + kw - ww, 0)
+    xp = np.pad(
+        x,
+        (
+            (0, 0),
+            (pad_h // 2, pad_h - pad_h // 2),
+            (pad_w // 2, pad_w - pad_w // 2),
+            (0, 0),
+        ),
+    )
+    win = np.lib.stride_tricks.sliding_window_view(xp, (kh, kw), axis=(1, 2))
+    win = win[:, ::2, ::2]  # (n, oh, ow, cin, kh, kw)
+    win = win.transpose(0, 1, 2, 4, 5, 3).reshape(n, oh, ow, kh * kw * cin)
+    return win @ w.reshape(kh * kw * cin, cout)
+
+
 def pretrained_cnn_features(
     images: np.ndarray, weights_path: Optional[Path] = None
 ) -> np.ndarray:
@@ -111,39 +138,22 @@ def pretrained_cnn_features(
     Multi-channel inputs are averaged to one channel (climate fields are
     single-variable); each conv is stride-2 with ReLU; the head is global
     mean+std pooling over the last feature map (128 dims). Weights load
-    once from the in-repo ``fid_weights.npz``."""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
+    once from the in-repo ``fid_weights.npz``; the forward pass is pure
+    numpy so values do not depend on the active JAX backend."""
     weights_path = Path(weights_path or _WEIGHTS_FILE)
     key = str(weights_path)
     if key not in _CNN_CACHE:
         with np.load(weights_path) as z:
-            w = {k: jnp.asarray(z[k]) for k in z.files}
-
-        @jax.jit
-        def forward(x):
-            for name in ("conv1", "conv2", "conv3"):
-                x = lax.conv_general_dilated(
-                    x,
-                    w[name],
-                    window_strides=(2, 2),
-                    padding="SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-                x = jnp.maximum(x, 0.0)
-            mean = jnp.mean(x, axis=(1, 2))
-            std = jnp.std(x, axis=(1, 2))
-            return jnp.concatenate([mean, std], axis=-1)
-
-        _CNN_CACHE[key] = forward
-    x = np.asarray(images, np.float32)
+            _CNN_CACHE[key] = {k: np.asarray(z[k], np.float64) for k in z.files}
+    w = _CNN_CACHE[key]
+    x = np.asarray(images, np.float64)
     if x.ndim == 3:
         x = x[..., None]
     if x.shape[-1] != 1:
         x = x.mean(axis=-1, keepdims=True)
-    return np.asarray(_CNN_CACHE[key](x), np.float64)
+    for name in ("conv1", "conv2", "conv3"):
+        x = np.maximum(_conv2d_stride2_same(x, w[name]), 0.0)
+    return np.concatenate([x.mean(axis=(1, 2)), x.std(axis=(1, 2))], axis=-1)
 
 
 def fid_from_features(feats_gen: np.ndarray, feats_ref: np.ndarray) -> float:

@@ -270,6 +270,10 @@ def main():
                 f"rmse={card['rmse']:.2f} w1={card['wasserstein1']:.2f} "
                 f"fid={card['fid']:.2f} moran={card['morans_i_gen']:.3f} "
                 f"oor={card['frac_outside_truth_range']:.3f}")
+        # provenance: the budget THIS card was produced with, so the
+        # PARITY.md header describes the stored scorecards even after a
+        # later budget edit + --only rerun of a different variant
+        cards["train_steps"] = train_steps
         return cards
 
     ours_cards = {
@@ -336,9 +340,12 @@ def main():
         "",
         f"For each variant: 100 real DANRA fields split 80/20 (seeded),",
         f"trained on the 80 TRAIN fields only ({TRAIN_STEPS} steps"
-        + ("; " + "; ".join(
-            f"{k.split('__')[0].replace('DDPM_conditional_', '').replace('DDPM_', '')}: {v}"
-            for k, v in VARIANT_STEPS.items()) if VARIANT_STEPS else "")
+        + ((lambda notes: "; " + "; ".join(notes) if notes else "")(
+            [f"{k.split('__')[0].replace('DDPM_conditional_', '').replace('DDPM_', '')}"
+             f": {ours_cards[k].get('train_steps', VARIANT_STEPS.get(k, TRAIN_STEPS))}"
+             for k in written
+             if ours_cards[k].get(
+                 "train_steps", VARIANT_STEPS.get(k, TRAIN_STEPS)) != TRAIN_STEPS]))
         + "; batch",
         f"{BATCH}; each variant's own loss — sdf-weighted where the",
         f"reference used it, simple otherwise; T={N_TIMESTEPS} linear",

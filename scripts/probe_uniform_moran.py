@@ -77,7 +77,7 @@ def augment(batch: dict, rng: np.random.Generator, mode: str) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--aug", default="d4", choices=["none", "flip", "d4"])
+    ap.add_argument("--aug", default="none", choices=["none", "flip", "d4"])
     ap.add_argument("--steps", type=int, default=24000)
     ap.add_argument("--ema_decay", type=float, default=0.995)
     ap.add_argument("--cond_jitter", type=float, default=0.0,
