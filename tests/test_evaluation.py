@@ -161,6 +161,29 @@ class TestFID:
         np.testing.assert_array_equal(f1, f2)
         assert f1.shape == (64, 128)
 
+    def test_numpy_conv_matches_lax(self):
+        """The pure-numpy stride-2 SAME conv (backend-independence fix:
+        the jitted extractor drifted ~0.2% between TPU and CPU backends)
+        agrees with lax.conv_general_dilated on odd/even shapes."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        from diffusionmodelscustom_tpu.evaluation.fid import (
+            _conv2d_stride2_same,
+        )
+
+        rng = np.random.default_rng(0)
+        for h, w_, kh in ((32, 32, 5), (31, 29, 3), (9, 8, 3)):
+            x = rng.standard_normal((3, h, w_, 2))
+            w = rng.standard_normal((kh, kh, 2, 4))
+            ours = _conv2d_stride2_same(x, w)
+            ref = lax.conv_general_dilated(
+                jnp.asarray(x), jnp.asarray(w), (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            assert ours.shape == ref.shape
+            np.testing.assert_allclose(ours, np.asarray(ref), atol=2e-4)
+
     def test_fixed_weights_match_generator(self):
         """The committed file equals make_feature_net_weights(seed=7) —
         documents provenance of the shipped weights."""
