@@ -137,26 +137,35 @@ def main():
         )
         cache.write_bytes(serialization.to_bytes(params))
 
+    # the full int8 serving configuration (dynamic-int8 convs + int8
+    # QK/PV attention) — the module bench.py's danra128serve times at
+    # 68.6 samples/s/chip @128px; this row pins its QUALITY
+    serve_model = model.clone(conv_quant=True, attn_pv_int8=True)
     samplers = {
-        "ancestral_800": lambda dn, key, shape: ancestral_sample(
-            dn, diffusion, key, shape, clip_denoised=True),
-        "ddim_50": lambda dn, key, shape: ddim_sample(
-            dn, diffusion, key, shape, num_steps=50, clip_denoised=True),
-        "dpmpp2m_25": lambda dn, key, shape: dpmpp_2m_sample(
-            dn, diffusion, key, shape, num_steps=25, clip_denoised=True),
+        "ancestral_800": (model, lambda dn, key, shape: ancestral_sample(
+            dn, diffusion, key, shape, clip_denoised=True)),
+        "ddim_50": (model, lambda dn, key, shape: ddim_sample(
+            dn, diffusion, key, shape, num_steps=50, clip_denoised=True)),
+        "dpmpp2m_25": (model, lambda dn, key, shape: dpmpp_2m_sample(
+            dn, diffusion, key, shape, num_steps=25, clip_denoised=True)),
+        "ddim_25": (model, lambda dn, key, shape: ddim_sample(
+            dn, diffusion, key, shape, num_steps=25, clip_denoised=True)),
+        "ddim_25_int8": (serve_model, lambda dn, key, shape: ddim_sample(
+            dn, diffusion, key, shape, num_steps=25, clip_denoised=True)),
     }
-    evals = {"ancestral_800": 800, "ddim_50": 50, "dpmpp2m_25": 25}
+    evals = {"ancestral_800": 800, "ddim_50": 50, "dpmpp2m_25": 25,
+             "ddim_25": 25, "ddim_25_int8": 25}
 
     results = {}
     chunk = 25
-    for name, sampler in samplers.items():
+    for name, (module, sampler) in samplers.items():
 
         def run_chunk(start, key_seed=7):
             sl = slice(start, start + chunk)
             cb = {k: jnp.asarray(v[sl]) for k, v in batch_all.items()}
 
             def denoise(x, t):
-                return model.apply(
+                return module.apply(
                     {"params": params}, x, t, cb["classifier"],
                     cb["img_cond"], cb["lsm"], cb["topo"],
                 )
@@ -205,18 +214,23 @@ def main():
         "# Few-step serving quality (measured, v5e-1)",
         "",
         "One flagship model (ERA5 variant, make_parity's held-out 80/20",
-        f"protocol, {TRAIN_STEPS} steps), sampled through three step",
-        "budgets with MATCHED conditioning; metrics on the 20 held-out",
-        "fields the model never saw. The fast samplers are the serving",
-        "path: 16-32x fewer UNet evaluations at the quality shown below",
-        "(progressive distillation, train/distill.py, goes below 25).",
+        f"protocol, {TRAIN_STEPS} steps), sampled through four serving",
+        "configurations with MATCHED conditioning; metrics on the 20",
+        "held-out fields the model never saw. The fast samplers are the",
+        "serving path: 16-32x fewer UNet evaluations at the quality shown",
+        "below (progressive distillation, train/distill.py, goes below",
+        "25). 'DDIM 25 int8' is the FULL int8 serving mode (dynamic-int8",
+        "convs + int8 QK/PV attention) — exactly the configuration",
+        "bench.py's danra128serve times at 68.6 samples/s/chip @128px.",
         "",
-        "| metric | ancestral 800 | DDIM 50 | DPM-Solver++ 25 |",
-        "|---|---|---|---|",
+        "| metric | ancestral 800 | DDIM 50 | DPM-Solver++ 25 "
+        "| DDIM 25 | DDIM 25 int8 |",
+        "|---|---|---|---|---|---|",
     ]
     for key, label in metrics:
         row = [f"| {label} "]
-        for name in ("ancestral_800", "ddim_50", "dpmpp2m_25"):
+        for name in ("ancestral_800", "ddim_50", "dpmpp2m_25",
+                     "ddim_25", "ddim_25_int8"):
             row.append(f"| {results[name]['heldout_' + key]:.3f} ")
         lines.append("".join(row) + "|")
     lines += [
@@ -232,13 +246,28 @@ def main():
         "| sampler | steps | seconds | samples/s (this harness) |",
         "|---|---|---|---|",
     ]
-    for name in ("ancestral_800", "ddim_50", "dpmpp2m_25"):
+    for name in ("ancestral_800", "ddim_50", "dpmpp2m_25", "ddim_25",
+                 "ddim_25_int8"):
         r = results[name]
         lines.append(
             f"| {name} | {r['steps']} | {r['sample_seconds_100']} "
             f"| {100 / r['sample_seconds_100']:.1f} |"
         )
     lines += [
+        "",
+        "Takeaway (honest): the training-free fast samplers hold the",
+        "distribution-level metrics (CRPS/W1/KS within ~5-30% of the",
+        "800-step run, out-of-range near zero with `clip_denoised`) but",
+        "degrade field-level error and spatial autocorrelation (few-step",
+        "fields carry high-frequency residual noise). `clip_denoised` is",
+        "load-bearing at these budgets: without it DDIM-50 collapses",
+        "(RMSE 12.2, FID 2441 — first run, FEWSTEP.json history). The",
+        "int8 row shows quantization costs ~nothing ON TOP of the",
+        "few-step approximation at the same budget. For serving below",
+        "~50 steps at matched quality, use progressive distillation",
+        "(`train/distill.py`), which trains the student to match the",
+        "teacher's trajectory instead of re-solving the ODE with fewer",
+        "steps.",
         "",
         "Generated by `scripts/fewstep_quality.py`; raw numbers in",
         "`FEWSTEP.json`.",
