@@ -63,7 +63,10 @@ def _load_teacher(args, trainer, example, rng):
 
         ckpt = CheckpointManager(path, max_to_keep=3, best_mode="min")
         # prefer the best-validation checkpoint, as generate/serve do
-        step = ckpt.best_step() or ckpt.latest_step()
+        # (explicit None check: a best step of 0 is falsy)
+        step = ckpt.best_step()
+        if step is None:
+            step = ckpt.latest_step()
         state = ckpt.restore(state, step=step)
         print(f"[distill] teacher from manager step {step}", file=sys.stderr)
     else:
@@ -90,7 +93,7 @@ def main(argv=None) -> int:
 
     cfg = config_from_args(args)
     model = build_model(cfg)
-    dataset, loader = build_data(cfg, args.synthetic)
+    dataset, loader, _ = build_data(cfg, args.synthetic)
     diffusion = GaussianDiffusion.create(
         n_timesteps=cfg.diffusion.n_timesteps,
         beta_min=cfg.diffusion.beta_min,

@@ -80,7 +80,7 @@ def main(argv=None) -> int:
         beta_max=cfg.diffusion.beta_max,
         scheduler=cfg.diffusion.beta_scheduler,
     )
-    dataset, loader = build_data(cfg, args.synthetic)
+    dataset, loader, _ = build_data(cfg, args.synthetic)
 
     # restore best checkpoint (generation_DANRA_conditional.py:353-360);
     # shared with cli.serve so the two entry points cannot drift

@@ -50,7 +50,10 @@ def load_inference_setup(
     restored = False
     if ckpt_dir.exists():
         mgr = CheckpointManager(ckpt_dir, best_mode="min")
-        step = mgr.best_step() or mgr.latest_step()
+        # explicit None check: a best step of 0 (first epoch) is falsy
+        step = mgr.best_step()
+        if step is None:
+            step = mgr.latest_step()
         if step is not None:
             state = mgr.restore(state, step=step)
             print(f"[inference] restored checkpoint step {step}",

@@ -80,7 +80,7 @@ class SamplerService:
             beta_max=cfg.diffusion.beta_max,
             scheduler=cfg.diffusion.beta_scheduler,
         )
-        dataset, loader = build_data(cfg, args.synthetic)
+        dataset, loader, _ = build_data(cfg, args.synthetic)
         if args.sample_batch > cfg.training.batch_size:
             raise SystemExit(
                 f"--sample_batch ({args.sample_batch}) must not exceed the "

@@ -234,21 +234,50 @@ def build_data(cfg, synthetic: bool):
         field_cache_entries=cfg.data.field_cache_entries,
         seed=cfg.training.seed,
     )
+    cond = lr if (cfg.unet.cond_on_img and lr.exists()) else None
+    members_train = members_valid = None
+    if cfg.data.split_type != "none":
+        # held-out validation (launch.py:59-61 data_split_type surface):
+        # early stopping / best-checkpoint selection must monitor data
+        # the model never trains on
+        from ..data.splits import split_files
+        from ..data.store import open_group
+
+        splits = split_files(
+            list(open_group(hr, mode="r").keys()),
+            split_type=cfg.data.split_type,
+            train_size=cfg.data.train_size,
+            val_size=cfg.data.val_size,
+            test_size=cfg.data.test_size,
+            seed=cfg.training.seed,
+        )
+        members_train, members_valid = splits["train"], splits["valid"]
+
     dataset = DanraDataset(
         hr,
         ds_cfg,
-        cond_store_path=lr if (cfg.unet.cond_on_img and lr.exists()) else None,
+        cond_store_path=cond,
         lsm_full_domain=lsm,
         topo_full_domain=topo,
+        members=members_train,
     )
-    n = len(dataset)
     loader = BatchLoader(
         dataset,
         cfg.training.batch_size,
         seed=cfg.training.seed,
         num_workers=cfg.data.num_workers,
     )
-    return dataset, loader
+    valid_dataset = None
+    if members_valid:
+        valid_dataset = DanraDataset(
+            hr,
+            ds_cfg,
+            cond_store_path=cond,
+            lsm_full_domain=lsm,
+            topo_full_domain=topo,
+            members=members_valid,
+        )
+    return dataset, loader, valid_dataset
 
 
 def trainer_config_from_experiment(cfg, steps_per_epoch: int):
@@ -312,7 +341,7 @@ def main(argv=None) -> int:
         scheduler=cfg.diffusion.beta_scheduler,
         data_scaled=cfg.diffusion.noise_variance > 0,
     )
-    dataset, loader = build_data(cfg, args.synthetic)
+    dataset, loader, valid_dataset = build_data(cfg, args.synthetic)
     steps_per_epoch = max(1, len(dataset) // cfg.training.batch_size)
     batcher = finisher = feed_pool = None
     if args.device_feed:
@@ -400,6 +429,51 @@ def main(argv=None) -> int:
             batch.pop("points", None)
             yield batch
 
+    # held-out validation loader (None -> fit monitors train loss; the
+    # old behavior of passing the TRAIN loader as valid_loader scored
+    # "validation" on training data and doubled every epoch's data pass)
+    valid_batches = None
+    if valid_dataset is not None:
+        bs = cfg.training.batch_size
+        if len(valid_dataset) < bs:
+            print(
+                f"[train] WARNING: validation split has {len(valid_dataset)}"
+                f" samples < batch {bs}; monitoring train loss instead",
+                file=sys.stderr,
+            )
+        elif batcher is not None:
+            from ..data.device_feed import CompactBatcher as _CB
+
+            valid_batcher = _CB(valid_dataset, bs, pool=feed_pool)
+
+            def valid_batches():
+                order = np.arange(len(valid_dataset))
+
+                def packed():
+                    for s in range(len(order) // bs):
+                        yield valid_batcher.load(order[s * bs:(s + 1) * bs])
+
+                yield from prefetch_to_device(packed(), sharding=sharding)
+        else:
+            from ..data import BatchLoader as _BL
+
+            valid_loader = _BL(
+                valid_dataset, bs, shuffle=False, drop_last=True,
+                num_workers=cfg.data.num_workers,
+            )
+
+            def valid_batches():
+                for batch in prefetch_to_device(valid_loader, sharding=sharding):
+                    batch.pop("points", None)
+                    yield batch
+
+        if valid_batches is not None:
+            print(
+                f"[train] validation split: {len(valid_dataset)} held-out "
+                f"samples ({cfg.data.split_type})",
+                file=sys.stderr,
+            )
+
     def log_fn(epoch, train_loss, valid_loss):
         print(
             f"[epoch {epoch}] train={train_loss:.5f} valid={valid_loss:.5f}",
@@ -447,7 +521,7 @@ def main(argv=None) -> int:
             state, history = trainer.fit(
                 state,
                 train_loader=epoch_batches,
-                valid_loader=epoch_batches,
+                valid_loader=valid_batches,
                 epochs=cfg.training.epochs,
                 rng=rng,
                 checkpoint_fn=lambda s, e, m: ckpt.save(e, s, monitor=m),

@@ -121,8 +121,13 @@ class EDMConfig:
 
         With ``inpaint_images``/``inpaint_masks`` (mask 1 = known pixel),
         the known region is substituted after the churn noise is added,
-        carrying the same churn-delta noise as the unknown region — the
-        reference's exact blend (elucidated_imagen.py:498-500).
+        carrying ONLY the churn-delta noise (std sqrt(sigma_hat^2 -
+        sigma^2), i.e. zero when gamma == 0) rather than noise at the
+        sampler's current sigma — verified byte-for-byte against the
+        reference's blend ``images_hat * ~mask + (inpaint_images +
+        added_noise) * mask`` (elucidated_imagen.py:498-500). This is a
+        reference quirk kept deliberately for parity; its resampling
+        loop (repaint) is what re-mixes the known region across steps.
         """
         eps = self.S_noise * jax.random.normal(rng, images.shape, images.dtype)
         sigma_hat = sigma + gamma * sigma

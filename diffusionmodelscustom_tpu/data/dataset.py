@@ -31,12 +31,81 @@ per-window min-max normalization (data_DANRA_conditional.py:82-102).
 from __future__ import annotations
 
 import dataclasses
+import re
+import warnings
 from collections import OrderedDict
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 from .geo import DateFromFile, Scale, find_rand_points, generate_sdf, normalize_sdf
 from .store import open_group
+
+_MEMBER_DATE_RE = re.compile(r"(\d{8})(?:\.\w+)?$")
+
+
+def _member_date(name: str) -> Optional[str]:
+    """Trailing YYYYMMDD of a member name (optionally before an
+    extension), or None for undated stores."""
+    m = _MEMBER_DATE_RE.search(name)
+    return m.group(1) if m else None
+
+
+def _pair_by_date(
+    files: List[str], files_cond: List[str]
+) -> Tuple[List[str], List[str]]:
+    """Pair image/conditioning members by their trailing YYYYMMDD date.
+
+    The reference builds date-matched archives out-of-band (it prints and
+    drops the asymmetric date difference,
+    generation_DANRA_conditional.py:66-88) and then pairs positionally;
+    pairing by date here makes a single missing day in one store drop
+    ONE pair instead of silently misaligning every pair after the gap.
+    Positional pairing (with a truncation warning) remains the fallback
+    for undated member names."""
+    d_img = {d: f for f in files if (d := _member_date(f)) is not None}
+    d_cond = {d: f for f in files_cond if (d := _member_date(f)) is not None}
+    if len(d_img) == len(files) and len(d_cond) == len(files_cond):
+        common = sorted(set(d_img) & set(d_cond))
+        dropped = (len(files) - len(common)) + (len(files_cond) - len(common))
+        if dropped:
+            warnings.warn(
+                f"image/conditioning stores share only {len(common)} dates "
+                f"({dropped} unmatched members dropped)",
+                stacklevel=3,
+            )
+        return [d_img[d] for d in common], [d_cond[d] for d in common]
+    if len(files) != len(files_cond):
+        warnings.warn(
+            "undated store members paired positionally with truncation "
+            f"({len(files)} image vs {len(files_cond)} conditioning "
+            "members) — pairs after any gap may be misaligned",
+            stacklevel=3,
+        )
+    n = min(len(files), len(files_cond))
+    return files[:n], files_cond[:n]
+
+
+def _scaled_window(
+    point: Sequence[int],
+    src_hw: Tuple[int, ...],
+    dst_hw: Tuple[int, ...],
+) -> Tuple[int, int, int, int]:
+    """Map a cutout window from the image grid to a conditioning grid of
+    a different resolution over the SAME geographic domain. Identity when
+    the grids match (the reference's contract: its ERA5 conditioning is
+    pre-regridded to the DANRA grid and indexed with the same point,
+    data_DANRA_conditional.py:1155-1160)."""
+    x1, x2, y1, y2 = point
+    sh, sw = src_hw[:2]
+    dh, dw = dst_hw[:2]
+    if (sh, sw) == (dh, dw):
+        return (x1, x2, y1, y2)
+    rx, ry = dh / sh, dw / sw
+    nx1 = min(int(round(x1 * rx)), dh - 1)
+    ny1 = min(int(round(y1 * ry)), dw - 1)
+    nx2 = min(max(nx1 + 1, int(round(x2 * rx))), dh)
+    ny2 = min(max(ny1 + 1, int(round(y2 * ry))), dw)
+    return (nx1, nx2, ny1, ny2)
 
 
 def _resize2d(arr: np.ndarray, target: Tuple[int, int]) -> np.ndarray:
@@ -106,6 +175,7 @@ class DanraDataset:
         cond_store_path=None,
         lsm_full_domain: Optional[np.ndarray] = None,
         topo_full_domain: Optional[np.ndarray] = None,
+        members: Optional[Sequence[str]] = None,
     ):
         self.cfg = config
         self.group = open_group(data_store_path, mode="r")
@@ -114,10 +184,20 @@ class DanraDataset:
         if cond_store_path is not None:
             self.cond_group = open_group(cond_store_path, mode="r")
             files_cond = list(self.cond_group.keys())
-            n = min(len(self.files), len(files_cond))
-            self.files, self.files_cond = self.files[:n], files_cond[:n]
+            self.files, self.files_cond = _pair_by_date(self.files, files_cond)
         else:
             self.files_cond = self.files
+        if members is not None:
+            # train/valid/test partitions (data/splits.py split_files)
+            keep = set(members)
+            pairs = [
+                (f, fc)
+                for f, fc in zip(self.files, self.files_cond)
+                if f in keep
+            ]
+            assert pairs, "members selects no store entries"
+            self.files = [f for f, _ in pairs]
+            self.files_cond = [fc for _, fc in pairs]
 
         rng = np.random.default_rng(config.seed)
         if config.shuffle:
@@ -274,9 +354,14 @@ class DanraDataset:
             with self._lock:
                 point = find_rand_points(cfg.cutout_domains, crop, self._rng)
             x1, x2, y1, y2 = point
-            img = img[x1:x2, y1:y2]
             if img_cond is not None:
-                img_cond = img_cond[x1:x2, y1:y2]
+                # map the window onto the conditioning grid (identity on
+                # the reference's same-grid archives)
+                cx1, cx2, cy1, cy2 = _scaled_window(
+                    point, img.shape, img_cond.shape
+                )
+                img_cond = img_cond[cx1:cx2, cy1:cy2]
+            img = img[x1:x2, y1:y2]
             if self.lsm_full is not None:
                 sample["lsm"] = self._transform_mask(self.lsm_full[x1:x2, y1:y2])
             if self.topo_full is not None:
@@ -358,10 +443,11 @@ class DanraDataset:
                 ]
             # cutout coords apply to every full-domain field (the
             # reference indexes img and cond with the same point,
-            # data_DANRA_conditional.py:1155-1160); windows are clamped to
-            # each source's bounds like numpy slicing in the per-sample
-            # path (matters when a cond store is on a coarser grid —
-            # unclamped pointers read out of bounds in the native kernel)
+            # data_DANRA_conditional.py:1155-1160); conditioning stores
+            # on a coarser grid get the window rescaled by the grid
+            # ratio (_scaled_window, identity for same-grid archives)
+            # and every window is clamped to its source's bounds —
+            # unclamped pointers read out of bounds in the native kernel
             def clamp(p, src):
                 h0, w0 = src.shape
                 x1 = min(p[0], h0 - 1)
@@ -371,7 +457,10 @@ class DanraDataset:
 
             windows = [clamp(p, im) for p, im in zip(points, imgs)]
             cond_windows = (
-                [clamp(p, cn) for p, cn in zip(points, conds)]
+                [
+                    clamp(_scaled_window(p, im.shape, cn.shape), cn)
+                    for p, im, cn in zip(points, imgs, conds)
+                ]
                 if conds is not None
                 else None
             )
@@ -430,8 +519,13 @@ class DanraDataset:
         return batch
 
     def _transform_mask(self, arr: np.ndarray) -> np.ndarray:
-        """Masks/SDF get resized (and the reference also scales them when
-        scale=True, data_DANRA_conditional.py:1171-1175 — kept)."""
+        """Masks/SDF are resized but NOT value-scaled — a deliberate
+        divergence: the reference pushes lsm/topo/sdf through the same
+        transform chain as temperature, including the Scale step with
+        TEMPERATURE min/max (data_DANRA_conditional.py:1033-1037,
+        1168-1175), which maps a 0/1 land-sea mask to two arbitrary
+        points of the temperature range. Here geography channels keep
+        their native units (lsm in {0,1}, sdf already normalized)."""
         out = _resize2d(arr, self.cfg.data_size)
         return out[..., None]
 

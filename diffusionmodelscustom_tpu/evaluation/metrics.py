@@ -237,9 +237,15 @@ def evaluate_fields(
     lsm: Optional[np.ndarray] = None,
     *,
     event_threshold: Optional[float] = None,
+    morans_max_fields: Optional[int] = None,
 ) -> Dict[str, float]:
     """Full scorecard over a (N, H, W[, C]) generated-vs-truth pair —
-    the single-call equivalent of the reference's evaluation script."""
+    the single-call equivalent of the reference's evaluation script.
+
+    Moran's I is averaged over ALL fields by default;
+    ``morans_max_fields`` caps the count for very large sets (an earlier
+    undocumented cap of 16 added sampling variance of the same order as
+    the parity gaps being judged)."""
     mask = (np.asarray(lsm) > 0.5) if lsm is not None else None
     daily_mae, daily_rmse = daily_errors(gen, ref, mask)
     out = {
@@ -253,13 +259,17 @@ def evaluate_fields(
         "morans_i_gen": float(
             np.mean(
                 [morans_i(gen[i], mask[i] if np.ndim(mask) == gen.ndim else mask)
-                 for i in range(min(len(gen), 16))]
+                 for i in range(
+                     len(gen) if morans_max_fields is None
+                     else min(len(gen), morans_max_fields))]
             )
         ),
         "morans_i_ref": float(
             np.mean(
                 [morans_i(ref[i], mask[i] if np.ndim(mask) == ref.ndim else mask)
-                 for i in range(min(len(ref), 16))]
+                 for i in range(
+                     len(ref) if morans_max_fields is None
+                     else min(len(ref), morans_max_fields))]
             )
         ),
     }

@@ -134,15 +134,30 @@ class CrossEmbedLayer(nn.Module):
 
 class PixelShuffleUpsample(nn.Module):
     """Conv -> SiLU -> depth-to-space 2x (imagen_pytorch.py:1320-1350);
-    initialized conv-kernel-replicated to avoid checkerboard artifacts."""
+    initialized conv-kernel-replicated (ICNR) so every output channel's
+    2x2 depth-to-space block is identical at init — the anti-checkerboard
+    property the reference's init_conv_ provides (kaiming on dim_out
+    channels, then repeat 4x)."""
 
     dim_out: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        def icnr(key, shape, dtype=jnp.float32):
+            # ops.resize.pixel_shuffle reads channels as (r, r, c_out),
+            # so the 4 contributing channels of output channel co are
+            # {k*c_out + co}: tile a (.., c_out) base 4x along the last
+            # axis to make them identical
+            kh, kw, cin, cout4 = shape
+            base = nn.initializers.he_uniform()(
+                key, (kh, kw, cin, cout4 // 4), dtype
+            )
+            return jnp.tile(base, (1, 1, 1, 4))
+
         h = nn.Conv(
-            self.dim_out * 4, (1, 1), dtype=self.dtype, name="conv"
+            self.dim_out * 4, (1, 1), kernel_init=icnr,
+            dtype=self.dtype, name="conv",
         )(x)
         h = nn.silu(h)
         return pixel_shuffle(h, 2)

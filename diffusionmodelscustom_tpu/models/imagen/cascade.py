@@ -143,6 +143,14 @@ class Imagen:
         self.lowres_scheduler = ContinuousDiffusion(
             noise_schedule=self.lowres_noise_schedule
         )
+        # validate the loss name eagerly (p_losses applies it elementwise
+        # so per-sample min-SNR weights compose; _LOSSES maps the reduced
+        # variants for external callers)
+        if self.loss_type not in _LOSSES:
+            raise ValueError(
+                f"unknown loss_type {self.loss_type!r}; "
+                f"options: {'|'.join(_LOSSES)}"
+            )
         self.loss_fn = _LOSSES[self.loss_type]
 
     def _stage_frames(self, unet_index: int) -> int:
@@ -321,10 +329,17 @@ class Imagen:
             raise ValueError(f"unknown objective {objective!r}")
 
         err = (pred.astype(jnp.float32) - target.astype(jnp.float32))
-        per_sample = jnp.mean(
-            jnp.abs(err) if self.loss_type == "l1" else err * err,
-            axis=tuple(range(1, err.ndim)),
-        )
+        if self.loss_type == "l1":
+            elementwise = jnp.abs(err)
+        elif self.loss_type == "huber":
+            # smooth-L1 with delta=1 (imagen_pytorch.py loss_type='huber'
+            # -> F.smooth_l1_loss); elementwise so min-SNR weights apply
+            a = jnp.abs(err)
+            quad = jnp.minimum(a, 1.0)
+            elementwise = 0.5 * quad * quad + (a - quad)
+        else:
+            elementwise = err * err
+        per_sample = jnp.mean(elementwise, axis=tuple(range(1, err.ndim)))
 
         # min-SNR-gamma reweighting (imagen_pytorch.py:4416-4438), gated
         # by min_snr_loss_weight (:3357)
@@ -445,6 +460,12 @@ class Imagen:
         if not self.condition_on_text:
             text_embeds = text_mask = None
         img = start_image_or_video
+        if img is not None and self.auto_normalize_img:
+            # user-supplied start images arrive in the same [0,1] space
+            # sample() returns; internally stages exchange [-1,1] images,
+            # so normalize once at entry (the reference normalizes the
+            # resized lowres cond each stage, imagen_pytorch.py:4220)
+            img = normalize_neg_one_to_one(img)
         n = len(self.unets)
         for idx in range(start_at_unet_number - 1, n):
             rng, stage_rng, aug_rng = jax.random.split(rng, 3)

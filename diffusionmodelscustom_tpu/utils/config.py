@@ -42,6 +42,15 @@ class DataConfig:
     num_workers: int = 1
     season_classes: int = 4
     sdf_weighted_loss: bool = False
+    # train/valid partition (the reference's data_split_type surface,
+    # test/launch.py:59-61): 'none' trains on every member and monitors
+    # train loss; 'random'/'temporal' carve a held-out validation set
+    # via data/splits.py so early stopping and best-checkpoint selection
+    # monitor data the model never trains on
+    split_type: str = "none"  # none | random | temporal
+    train_size: float = 0.8
+    val_size: float = 0.1
+    test_size: float = 0.1
 
 
 @dataclasses.dataclass

@@ -336,3 +336,34 @@ def test_train_cli_device_feed_end_to_end(tmp_path):
     assert cfgs, "config yaml not written"
     # checkpoint written and restorable implies the packed-buffer epoch ran
     assert (tmp_path / "runs" / "model_checkpoints").exists()
+
+
+def test_train_cli_validation_split_end_to_end(tmp_path, capsys):
+    """data.split_type carves a held-out validation set: the epoch logs a
+    real (non-nan) valid loss and the split is disjoint from training
+    (the earlier behavior scored 'validation' on the training loader)."""
+    from diffusionmodelscustom_tpu.cli.train import main as train_main
+
+    rc = train_main([
+        "--platform", "cpu", "--synthetic",
+        "--hr_size", "16", "--batch_size", "8", "--n_timesteps", "16",
+        "--model_family", "flagship", "--epochs", "1",
+        "--path_data", str(tmp_path / "data"),
+        "--path_save", str(tmp_path / "runs"),
+        "--set", "unet.base_channels=8",
+        "--set", "unet.time_embedding_size=32",
+        "--set", "data.split_type=random",
+        "--set", "data.val_size=0.2",
+        "--set", "data.test_size=0.0",
+        "--set", "data.train_size=0.8",
+    ])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "validation split: " in out.err
+    summary = json.loads(
+        [ln for ln in out.out.splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["final_valid_loss"] is not None
+    import math
+
+    assert math.isfinite(summary["final_valid_loss"])

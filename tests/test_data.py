@@ -423,3 +423,104 @@ class TestMatchedEvalSet:
             era5, danra, tmp_path / "out", n_samples=500, make_stores=False
         )
         assert len(summary["dates"]) == 9  # all matched dates, ref :100-104
+
+
+class TestGridAwareCondWindows:
+    """Cutout windows must land on the same geography when the
+    conditioning store is on a coarser grid (the reference's archives
+    are same-grid, so the mapping is identity there)."""
+
+    def test_scaled_window_identity_on_same_grid(self):
+        from diffusionmodelscustom_tpu.data.dataset import _scaled_window
+
+        assert _scaled_window((10, 42, 5, 37), (64, 64), (64, 64)) == (
+            10, 42, 5, 37)
+
+    def test_scaled_window_quarter_grid(self):
+        from diffusionmodelscustom_tpu.data.dataset import _scaled_window
+
+        x1, x2, y1, y2 = _scaled_window((32, 64, 16, 48), (64, 64), (16, 16))
+        assert (x1, x2, y1, y2) == (8, 16, 4, 12)
+        # never empty, always inside the destination grid
+        for p in [(0, 1, 63, 64), (60, 64, 0, 4)]:
+            a1, a2, b1, b2 = _scaled_window(p, (64, 64), (16, 16))
+            assert 0 <= a1 < a2 <= 16 and 0 <= b1 < b2 <= 16
+
+    def test_coarse_cond_store_crops_matching_geography(self, tmp_path):
+        lsm, topo = synthetic_geography((64, 64))
+        make_synthetic_store(
+            tmp_path / "hr", n_days=4, shape=(64, 64), lsm=lsm, seed=1
+        )
+        make_synthetic_store(
+            tmp_path / "lr", n_days=4, shape=(64, 64), lowres_factor=4,
+            seed=2,
+        )
+        cfg = DanraDatasetConfig(
+            data_size=(32, 32), conditional_images=True, cutouts=True,
+            cutout_domains=[0, 64, 0, 64], cutout_size=32, scale=False,
+            cache_size=0,
+        )
+        ds = DanraDataset(
+            tmp_path / "hr", cfg, cond_store_path=tmp_path / "lr",
+            lsm_full_domain=lsm, topo_full_domain=topo,
+        )
+        # per-sample and batched paths agree and produce full-size crops
+        # for EVERY window, including ones past the coarse grid's bounds
+        for idx in range(4):
+            s = ds[idx]
+            assert s["img_cond"].shape == (32, 32, 1)
+            assert np.isfinite(s["img_cond"]).all()
+        batch = ds.load_batch(list(range(4)))
+        assert batch["img_cond"].shape == (4, 32, 32, 1)
+        # the coarse cond window tracks the cutout: a window in the warm
+        # corner must give a warmer cond crop than the cold corner (the
+        # synthetic field has large-scale structure); compare two crops
+        # from opposite corners via the internal helper
+        from diffusionmodelscustom_tpu.data.dataset import _scaled_window
+
+        full_cond = ds._load_cond(ds.files_cond[0], ds._load_image(ds.files[0]))
+        w_lo = _scaled_window((0, 32, 0, 32), (64, 64), full_cond.shape)
+        w_hi = _scaled_window((32, 64, 32, 64), (64, 64), full_cond.shape)
+        c_lo = full_cond[w_lo[0]:w_lo[1], w_lo[2]:w_lo[3]]
+        c_hi = full_cond[w_hi[0]:w_hi[1], w_hi[2]:w_hi[3]]
+        assert c_lo.shape == c_hi.shape == (8, 8)
+        assert not np.allclose(c_lo, c_hi)
+
+
+class TestDatePairingAndMembers:
+    def test_offset_archives_pair_by_date_not_position(self, tmp_path):
+        make_synthetic_store(tmp_path / "hr", n_days=6, shape=(16, 16), seed=1)
+        # cond archive shifted one day: positional pairing would misalign
+        # EVERY pair; date pairing keeps the 5 shared dates
+        make_synthetic_store(
+            tmp_path / "lr", n_days=6, shape=(16, 16), lowres_factor=2,
+            seed=2, start="20000102",
+        )
+        cfg = DanraDatasetConfig(
+            data_size=(16, 16), conditional_images=True, scale=False,
+            shuffle=False,
+        )
+        with pytest.warns(UserWarning, match="unmatched members dropped"):
+            ds = DanraDataset(
+                tmp_path / "hr", cfg, cond_store_path=tmp_path / "lr"
+            )
+        assert len(ds) == 5
+        # every remaining pair shares its date
+        from diffusionmodelscustom_tpu.data.dataset import _member_date
+
+        for f, fc in zip(ds.files, ds.files_cond):
+            assert _member_date(f) == _member_date(fc)
+
+    def test_members_subset(self, tmp_path):
+        make_synthetic_store(tmp_path / "hr", n_days=8, shape=(16, 16), seed=1)
+        from diffusionmodelscustom_tpu.data.splits import split_files
+        from diffusionmodelscustom_tpu.data.store import open_group
+
+        names = list(open_group(tmp_path / "hr", mode="r").keys())
+        splits = split_files(names, split_type="random", seed=0)
+        cfg = DanraDatasetConfig(data_size=(16, 16), scale=False)
+        train = DanraDataset(tmp_path / "hr", cfg, members=splits["train"])
+        valid = DanraDataset(tmp_path / "hr", cfg, members=splits["valid"])
+        assert len(train) == len(splits["train"])
+        assert len(valid) == len(splits["valid"])
+        assert set(train.files).isdisjoint(valid.files)

@@ -540,3 +540,73 @@ def test_cross_embed_downsample_knob():
     modules = set(params["params"].keys())
     assert "init_cross_embed" in modules
     assert "conv_k2" in params["params"]["down_0_downsample"]
+
+
+class TestCascadeLossTypesAndStartImage:
+    def _cascade(self, loss_type="l2"):
+        unets = [tiny_unet(), tiny_unet(lowres=True)]
+        return Imagen(
+            unets=unets, image_sizes=(8, 16), channels=3, timesteps=20,
+            cond_drop_prob=0.0, loss_type=loss_type,
+        )
+
+    def test_huber_differs_from_l2_and_is_applied(self):
+        """loss_type='huber' must actually clamp large residuals — an
+        earlier p_losses special-cased only 'l1' and silently trained
+        huber configs with plain L2."""
+        losses = {}
+        for lt in ("l2", "huber", "l1"):
+            cascade = self._cascade(lt)
+            te, tm = text_batch()
+            params = cascade.init_unet_params(
+                0, jax.random.key(0), text_embed_dim=TEXT_DIM
+            )
+            images = jax.random.uniform(jax.random.key(1), (2, 16, 16, 3))
+            losses[lt] = float(
+                cascade.p_losses(
+                    0, params, images, jax.random.key(2),
+                    text_embeds=te, text_mask=tm,
+                )
+            )
+        assert losses["huber"] != losses["l2"]
+        assert losses["huber"] != losses["l1"]
+        # huber <= l2 pointwise for the same residuals (delta=1)
+        assert losses["huber"] <= losses["l2"] + 1e-6
+
+    def test_unknown_loss_type_rejected_eagerly(self):
+        with pytest.raises(ValueError, match="unknown loss_type"):
+            self._cascade("nope")
+
+    def test_start_image_normalized_on_entry(self):
+        """A [0,1] start image for SR-only sampling must be normalized to
+        the internal [-1,1] stage space (imagen_pytorch.py:4220)."""
+        cascade = self._cascade()
+        te, tm = text_batch()
+        params = [
+            cascade.init_unet_params(
+                i, jax.random.key(i), text_embed_dim=TEXT_DIM
+            )
+            for i in range(2)
+        ]
+        start01 = jax.random.uniform(jax.random.key(7), (2, 8, 8, 3))
+        out = cascade.sample(
+            params, jax.random.key(5), batch_size=2,
+            text_embeds=te, text_mask=tm,
+            start_image_or_video=start01, start_at_unet_number=2,
+        )
+        x = np.asarray(out)
+        assert x.shape == (2, 16, 16, 3)
+        assert np.isfinite(x).all()
+        assert x.min() >= 0.0 and x.max() <= 1.0
+        # the SR stage must SEE the normalized start image: feeding the
+        # pre-normalized version of the same image must give the same
+        # output as the [0,1] original would if the entry normalization
+        # exists (i.e. sample(normalize(x)) != sample(x) unless the fix
+        # normalizes exactly once)
+        out2 = cascade.sample(
+            params, jax.random.key(5), batch_size=2,
+            text_embeds=te, text_mask=tm,
+            start_image_or_video=start01 * 0.0 + 1.0,  # all-ones image
+            start_at_unet_number=2,
+        )
+        assert not np.allclose(x, np.asarray(out2))
