@@ -309,12 +309,15 @@ def test_distill_cli_end_to_end(tmp_path):
     assert np.isfinite(np.asarray(sample)).all()
 
 
-def test_train_cli_device_feed_end_to_end(tmp_path):
+def test_train_cli_device_feed_end_to_end(tmp_path, capsys):
     """--device_feed: the full CLI training loop over packed uint16
     buffers with on-device geo reconstruction (data/device_feed.py) —
     conditional seasons + images + lsm/topo + sdf loss so every
-    reconstructed channel is on the training path."""
+    reconstructed channel is on the training path. A temporal validation
+    split runs through the SAME packed-buffer path (the valid
+    CompactBatcher), covering both feeds in one run."""
     import json as _json
+    import math
 
     from diffusionmodelscustom_tpu.cli.train import main as train_main
 
@@ -330,8 +333,19 @@ def test_train_cli_device_feed_end_to_end(tmp_path):
         "--set", "unet.num_classes=4",
         "--set", "unet.cond_on_img=true",
         "--set", "data.cutouts=true",
+        "--set", "data.split_type=temporal",
+        "--set", "data.val_size=0.2",
+        "--set", "data.test_size=0.0",
+        "--set", "data.train_size=0.8",
     ])
     assert rc == 0
+    out = capsys.readouterr()
+    assert "validation split: " in out.err
+    summary = _json.loads(
+        [ln for ln in out.out.splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["final_valid_loss"] is not None
+    assert math.isfinite(summary["final_valid_loss"])
     cfgs = list((tmp_path / "runs").glob("*_config.yaml"))
     assert cfgs, "config yaml not written"
     # checkpoint written and restorable implies the packed-buffer epoch ran
