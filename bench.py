@@ -325,8 +325,12 @@ def _wait_for_backend(max_wait_s: float = 900.0) -> None:
                  "np.asarray(jax.device_get(jax.numpy.ones((8, 8)).ravel()[:4]))"],
                 capture_output=True,
                 # per-attempt cap: a hang-mode probe must not eat the whole
-                # budget, or the fresh-process retry loop below never runs
-                timeout=min(120.0, max(10.0, deadline - time.time())),
+                # budget, or the fresh-process retry loop below never runs.
+                # 300s, not less: on a slow/contended host the tunnel's
+                # first round-trip alone takes ~2.5-3 min (measured
+                # 2026-08-19: 158 s on a 1-CPU box), and a cap below that
+                # makes every probe "fail" while the backend is fine
+                timeout=min(300.0, max(10.0, deadline - time.time())),
             )
             ok = r.returncode == 0
         except subprocess.TimeoutExpired:

@@ -92,6 +92,14 @@ def main(argv=None) -> int:
     from ..utils.checkpoint import save_pytree
 
     cfg = config_from_args(args)
+    if cfg.diffusion.process != "ddpm":
+        # progressive distillation's closed-form targets are eps-space
+        # DDIM inverses (train/distill.py); a flow-trained velocity model
+        # needs no distillation stage — its ODE is natively few-step
+        raise SystemExit(
+            "cli.distill supports diffusion.process='ddpm' only "
+            f"(got {cfg.diffusion.process!r})"
+        )
     model = build_model(cfg)
     dataset, loader, _ = build_data(cfg, args.synthetic)
     diffusion = GaussianDiffusion.create(

@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["conditional", "unconditional", "lsm_topo", "uniform"],
     )
     p.add_argument("--sampler", type=str, default=None,
-                   choices=["ancestral", "ddim", "dpmpp"])
+                   choices=["ancestral", "ddim", "dpmpp", "flow"])
     p.add_argument("--ddim_steps", type=int, default=None)
     p.add_argument("--use_ema", action="store_true", default=True)
     p.add_argument("--no-use_ema", dest="use_ema", action="store_false",
@@ -69,16 +69,23 @@ def main(argv=None) -> int:
     if args.ddim_steps:
         cfg = cfg.update({"diffusion.ddim_steps": args.ddim_steps})
 
-    from ..core import GaussianDiffusion
-    from ..sampling import ancestral_sample, ddim_sample, dpmpp_2m_sample
+    from ..core import make_process
+    from ..sampling import (
+        ancestral_sample,
+        ddim_sample,
+        dpmpp_2m_sample,
+        flow_sample,
+    )
     from .inference import load_inference_setup
 
     model = build_model(cfg)
-    diffusion = GaussianDiffusion.create(
+    diffusion = make_process(
+        cfg.diffusion.process,
         n_timesteps=cfg.diffusion.n_timesteps,
         beta_min=cfg.diffusion.beta_min,
         beta_max=cfg.diffusion.beta_max,
         scheduler=cfg.diffusion.beta_scheduler,
+        time_sampling=cfg.diffusion.flow_time_sampling,
     )
     dataset, loader, _ = build_data(cfg, args.synthetic)
 
@@ -141,6 +148,12 @@ def main(argv=None) -> int:
                     return dpmpp_2m_sample(
                         denoise, diffusion, key, shape,
                         num_steps=sampler_steps, **kw,
+                    )
+                if sampler_name == "flow":
+                    return flow_sample(
+                        denoise, diffusion, key, shape,
+                        num_steps=sampler_steps,
+                        method=cfg.diffusion.flow_method, **kw,
                     )
                 return ancestral_sample(denoise, diffusion, key, shape, **kw)
 

@@ -81,6 +81,16 @@ def load_inference_setup(
         sampler_name, steps = "ddim", int(manifest["num_steps"])
         print(f"[inference] distilled student: ddim {steps} steps",
               file=sys.stderr)
+    # a flow-trained model predicts velocity, a DDPM one predicts noise —
+    # mixing the process and sampler families silently generates garbage,
+    # so refuse up front (this also rejects --distilled with a flow
+    # process: the distillation pipeline is eps-objective DDIM)
+    if (cfg.diffusion.process == "flow") != (sampler_name == "flow"):
+        raise SystemExit(
+            f"diffusion.process={cfg.diffusion.process!r} is incompatible "
+            f"with sampler {sampler_name!r}: process 'flow' requires "
+            "sampler 'flow' (and only then)"
+        )
     if getattr(args, "conv_quant", False):
         if not hasattr(model, "conv_quant"):
             raise SystemExit("--conv_quant requires the flagship model family")

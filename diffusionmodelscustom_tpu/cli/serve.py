@@ -63,8 +63,13 @@ class SamplerService:
         import jax
         import jax.numpy as jnp
 
-        from ..core import GaussianDiffusion
-        from ..sampling import ancestral_sample, ddim_sample, dpmpp_2m_sample
+        from ..core import make_process
+        from ..sampling import (
+            ancestral_sample,
+            ddim_sample,
+            dpmpp_2m_sample,
+            flow_sample,
+        )
         from .inference import load_inference_setup
 
         cfg = config_from_args(args)
@@ -74,11 +79,13 @@ class SamplerService:
             cfg = cfg.update({"diffusion.ddim_steps": args.ddim_steps})
 
         model = build_model(cfg)
-        diffusion = GaussianDiffusion.create(
+        diffusion = make_process(
+            cfg.diffusion.process,
             n_timesteps=cfg.diffusion.n_timesteps,
             beta_min=cfg.diffusion.beta_min,
             beta_max=cfg.diffusion.beta_max,
             scheduler=cfg.diffusion.beta_scheduler,
+            time_sampling=cfg.diffusion.flow_time_sampling,
         )
         dataset, loader, _ = build_data(cfg, args.synthetic)
         if args.sample_batch > cfg.training.batch_size:
@@ -127,6 +134,10 @@ class SamplerService:
             if sampler_name == "dpmpp":
                 return dpmpp_2m_sample(denoise, diffusion, key, shape,
                                        num_steps=steps, **kw)
+            if sampler_name == "flow":
+                return flow_sample(denoise, diffusion, key, shape,
+                                   num_steps=steps,
+                                   method=cfg.diffusion.flow_method, **kw)
             return ancestral_sample(denoise, diffusion, key, shape, **kw)
 
         self._run = jax.jit(run)

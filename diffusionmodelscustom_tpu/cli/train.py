@@ -323,7 +323,7 @@ def main(argv=None) -> int:
     apply_platform(args)
     cfg = config_from_args(args)
 
-    from ..core import GaussianDiffusion
+    from ..core import make_process
     from ..data import prefetch_to_device
     from ..parallel import batch_sharding, make_mesh
     from ..train import Trainer, TrainerConfig
@@ -334,12 +334,14 @@ def main(argv=None) -> int:
     cfg.save_yaml(save_dir / f"{cfg.name}_config.yaml")
 
     model = build_model(cfg)
-    diffusion = GaussianDiffusion.create(
+    diffusion = make_process(
+        cfg.diffusion.process,
         n_timesteps=cfg.diffusion.n_timesteps,
         beta_min=cfg.diffusion.beta_min,
         beta_max=cfg.diffusion.beta_max,
         scheduler=cfg.diffusion.beta_scheduler,
         data_scaled=cfg.diffusion.noise_variance > 0,
+        time_sampling=cfg.diffusion.flow_time_sampling,
     )
     dataset, loader, valid_dataset = build_data(cfg, args.synthetic)
     steps_per_epoch = max(1, len(dataset) // cfg.training.batch_size)
@@ -483,7 +485,7 @@ def main(argv=None) -> int:
     def save_grid(state, rng_tag: int, out_path) -> None:
         """DDIM-sample a small grid with EMA params and save it (the
         reference's periodic sample plots, ddpm…wValid.py:522-658)."""
-        from ..sampling import ddim_sample
+        from ..sampling import ddim_sample, flow_sample
         from ..utils.plotting import save_sample_grid
 
         params = state.ema_params if state.ema_params is not None else state.params
@@ -499,10 +501,14 @@ def main(argv=None) -> int:
                 sb.get("lsm"), sb.get("topo"),
             )
 
-        gen = ddim_sample(
+        num_steps = min(cfg.diffusion.ddim_steps, cfg.diffusion.n_timesteps // 2)
+        sample_fn = (
+            flow_sample if cfg.diffusion.process == "flow" else ddim_sample
+        )
+        gen = sample_fn(
             denoise, diffusion, jax.random.fold_in(rng, rng_tag),
             (n_gen, *example["img"].shape[1:]),
-            num_steps=min(cfg.diffusion.ddim_steps, cfg.diffusion.n_timesteps // 2),
+            num_steps=num_steps,
         )
         save_sample_grid(np.asarray(gen), out_path)
         print(f"[train] sample grid -> {out_path}", file=sys.stderr)

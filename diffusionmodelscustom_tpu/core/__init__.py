@@ -14,6 +14,7 @@ from .schedules import (
 from .continuous import ContinuousDiffusion, dynamic_threshold
 from .ddpm import GaussianDiffusion
 from .edm import EDMConfig
+from .flow import RectifiedFlow, make_process
 from .losses import (
     classifier_free_guidance,
     get_loss,
@@ -29,6 +30,7 @@ __all__ = [
     "ContinuousDiffusion",
     "EDMConfig",
     "GaussianDiffusion",
+    "RectifiedFlow",
     "dynamic_threshold",
     "alpha_cosine_log_snr",
     "beta_linear_log_snr",
@@ -43,6 +45,7 @@ __all__ = [
     "linear_beta_schedule",
     "log_snr_to_alpha_sigma",
     "make_beta_schedule",
+    "make_process",
     "min_snr_weight",
     "right_pad_dims_to",
     "sdf_weighted_mse",

@@ -83,8 +83,13 @@ class DiffusionConfig:
     beta_scheduler: str = "linear"  # linear | cosine | cosine_ramp
     noise_variance: float = 0.0  # >0 enables the data_scaled 0.005-style path
     cfg_scale: float = 0.0
-    sampler: str = "ancestral"  # ancestral | ddim | dpmpp
-    ddim_steps: int = 50
+    # process 'flow' = rectified-flow velocity training (core/flow.py,
+    # beyond-reference); requires sampler 'flow'
+    process: str = "ddpm"  # ddpm | flow
+    sampler: str = "ancestral"  # ancestral | ddim | dpmpp | flow
+    ddim_steps: int = 50  # step budget for the few-step samplers
+    flow_method: str = "euler"  # euler | heun (flow sampler only)
+    flow_time_sampling: str = "uniform"  # uniform | logit_normal
 
 
 @dataclasses.dataclass
