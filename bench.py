@@ -45,8 +45,10 @@ import jax
 import jax.numpy as jnp
 
 # persistent compilation cache: repeat bench runs skip the (slow) remote
-# compile of the big training/sampling graphs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+# compile of the big training/sampling graphs. Repo-local (gitignored), NOT
+# /tmp: /tmp is wiped between driver rounds, and a cold 128px sampling-scan
+# compile costs 200+ s of the driver's bench budget
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 A100_BF16_PEAK = 312e12  # published peak, dense bf16
@@ -100,15 +102,16 @@ def _time_sampler(sample_fn, batch):
     log(f"sample compile+first: {time.perf_counter() - t0:.2f}s")
     # min-of-3 with varied inputs (CLAUDE.md timing discipline): the
     # remote runtime stalls ~55-70 ms on the first timed execution of a
-    # fresh (executable, buffer) pair, which dominates sub-second runs
-    # (e.g. the 0.1 s batch-1 few-step configs). Long runs (>5 s) keep
-    # a single timed iteration — the stall is noise there.
+    # fresh (executable, buffer) pair, and tunnel jitter adds noise at
+    # every scale — so every config gets 3 timed repeats unless a single
+    # iteration is so long (>60 s) that repeats would eat the driver's
+    # whole bench budget.
     times = []
     for i, key in enumerate((4, 5, 6)):
         t0 = time.perf_counter()
         _sync(sample_fn(jax.random.key(key)))
         times.append(time.perf_counter() - t0)
-        if times[0] > 5.0:
+        if times[0] > 60.0:
             break
     dt = min(times)
     sps = batch / dt
@@ -235,12 +238,16 @@ def bench_cascade(quant: bool = False):
     out = sample_jit(params, jax.random.key(2))
     _sync(out)
     log(f"cascade compile+first: {time.perf_counter() - t0:.2f}s")
-    t0 = time.perf_counter()
-    out = sample_jit(params, jax.random.key(5))
-    _sync(out)
-    dt = time.perf_counter() - t0
+    times = []
+    for key in (5, 6, 7):
+        t0 = time.perf_counter()
+        out = sample_jit(params, jax.random.key(key))
+        _sync(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     sps = batch / dt
-    log(f"cascade: {dt:.2f}s -> {sps:.3f} samples/s/chip (64->128, EDM 32 steps)")
+    log(f"cascade: {dt:.2f}s (min of {len(times)}) -> {sps:.3f} "
+        f"samples/s/chip (64->128, EDM 32 steps)")
     # FLOP-exact projection: per-sample work measured from XLA's own cost
     # analysis of the two stage forwards (round-1's hand constant 40 GF
     # undercounted by ~2.4x and made the cascade look like 8 TF/s;
@@ -386,10 +393,14 @@ def main() -> None:
         fn = jax.jit(lambda key: ancestral_sample(
             denoise, diffusion, key, (1, 128, 128, 1)))
         _sync(fn(jax.random.key(3)))
-        t0 = time.perf_counter()
-        _sync(fn(jax.random.key(4)))
-        dt = time.perf_counter() - t0
-        log(f"batch-1 latency: {dt:.3f}s for one 1000-step 128px sample")
+        times = []
+        for key in (4, 5, 6):
+            t0 = time.perf_counter()
+            _sync(fn(jax.random.key(key)))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        log(f"batch-1 latency: {dt:.3f}s (min of {len(times)}) for one "
+            "1000-step 128px sample")
         # reference projection: one A100 sample at the same step count
         ref_latency = 1.0 / ref_a100_sps("danra128")
         emit("danra128_cond_ddpm1000_latency", dt, "seconds/sample",

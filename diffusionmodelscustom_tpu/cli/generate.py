@@ -85,7 +85,10 @@ def main(argv=None) -> int:
         beta_min=cfg.diffusion.beta_min,
         beta_max=cfg.diffusion.beta_max,
         scheduler=cfg.diffusion.beta_scheduler,
+        data_scaled=cfg.diffusion.noise_variance > 0,
         time_sampling=cfg.diffusion.flow_time_sampling,
+        logit_mean=cfg.diffusion.flow_logit_mean,
+        logit_std=cfg.diffusion.flow_logit_std,
     )
     dataset, loader, _ = build_data(cfg, args.synthetic)
 

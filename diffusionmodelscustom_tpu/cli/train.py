@@ -322,6 +322,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     apply_platform(args)
     cfg = config_from_args(args)
+    # the hybrid (VLB) loss regresses eps-space posterior terms; a flow
+    # model predicts velocity, so training it against the hybrid target
+    # would silently optimize the wrong objective (mirrors the process
+    # guards in cli.inference / cli.distill)
+    if cfg.diffusion.process == "flow" and cfg.training.loss_type == "hybrid":
+        raise SystemExit(
+            "diffusion.process 'flow' is incompatible with "
+            "training.loss_type 'hybrid' (eps-space VLB objective); "
+            "use 'simple'/'l1'/'huber' for flow training"
+        )
 
     from ..core import make_process
     from ..data import prefetch_to_device
@@ -342,6 +352,8 @@ def main(argv=None) -> int:
         scheduler=cfg.diffusion.beta_scheduler,
         data_scaled=cfg.diffusion.noise_variance > 0,
         time_sampling=cfg.diffusion.flow_time_sampling,
+        logit_mean=cfg.diffusion.flow_logit_mean,
+        logit_std=cfg.diffusion.flow_logit_std,
     )
     dataset, loader, valid_dataset = build_data(cfg, args.synthetic)
     steps_per_epoch = max(1, len(dataset) // cfg.training.batch_size)

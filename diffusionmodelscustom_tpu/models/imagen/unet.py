@@ -371,9 +371,13 @@ class ImagenUNet(nn.Module):
     learned_sinu_dim: int = 16
     num_time_tokens: int = 2  # time tokens in the context (:2356,2475)
     max_text_len: int = 256
-    # text pooling: 'attention_pool' (masked mean) or 'perceiver'
-    # (PerceiverResampler, imagen_pytorch.py:1068-1170)
-    text_pool: str = "attention_pool"
+    # text pooling: 'perceiver' (PerceiverResampler,
+    # imagen_pytorch.py:1068-1170) or 'attention_pool' (masked mean).
+    # Default matches the reference Unet's attn_pool_text=True default
+    # (imagen_pytorch.py:2384,2532) so unset configs reproduce reference
+    # pooling; checkpoints saved before round 3 with the old
+    # 'attention_pool' default must now set text_pool explicitly.
+    text_pool: str = "perceiver"
     num_latents: int = 32
     # multi-kernel stem (CrossEmbedLayer, imagen_pytorch.py:2220) vs 7x7 conv
     use_cross_embed: bool = False

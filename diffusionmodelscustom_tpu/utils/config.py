@@ -90,6 +90,8 @@ class DiffusionConfig:
     ddim_steps: int = 50  # step budget for the few-step samplers
     flow_method: str = "euler"  # euler | heun (flow sampler only)
     flow_time_sampling: str = "uniform"  # uniform | logit_normal
+    flow_logit_mean: float = 0.0  # logit_normal time-sampling location
+    flow_logit_std: float = 1.0  # logit_normal time-sampling scale
 
 
 @dataclasses.dataclass

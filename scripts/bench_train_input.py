@@ -25,7 +25,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import jax
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 BATCH, SIZE = 32, 128
 FULL = (589, 789)  # the DANRA full domain the reference cuts from

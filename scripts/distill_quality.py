@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "scripts"))
@@ -141,7 +141,7 @@ def main():
         cards = {}
         for split, idx in (("calibration", train_idx), ("heldout", hold_idx)):
             card = parity_scorecard(gen[idx], truth[idx], lsm[idx])
-            card["fid"] = fid(gen[idx], truth[idx])
+            card["fid_rf"] = fid(gen[idx], truth[idx])
             cards[split] = card
         results[mode] = {
             f"{s}_{k}": round(float(v), 4)
@@ -150,7 +150,7 @@ def main():
         log(f"[{mode}] heldout rmse={cards['heldout']['rmse']:.2f} "
             f"w1={cards['heldout']['wasserstein1']:.2f} "
             f"moran={cards['heldout']['morans_i_gen']:.3f} "
-            f"fid={cards['heldout']['fid']:.1f} "
+            f"fid={cards['heldout']['fid_rf']:.1f} "
             f"oor={cards['heldout']['frac_outside_truth_range']:.3f}")
 
     # Halving rounds, scoring the student at each serving budget on the
@@ -189,7 +189,7 @@ def main():
     # append the distilled section to docs/FEWSTEP.md
     metrics = [
         ("rmse", "RMSE"), ("mae", "MAE"), ("crps", "CRPS"),
-        ("wasserstein1", "W1"), ("ks", "KS"), ("fid", "FID"),
+        ("wasserstein1", "W1"), ("ks", "KS"), ("fid_rf", "FID (rf)"),
         ("morans_i_gen", "Moran's I"),
         ("frac_outside_truth_range", "out-of-range"),
     ]

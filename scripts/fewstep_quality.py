@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "scripts"))
@@ -137,6 +137,12 @@ def main():
         )
         cache.write_bytes(serialization.to_bytes(params))
 
+    if "--teacher_only" in sys.argv:
+        # train + cache the teacher for scripts/distill_quality.py without
+        # re-scoring the training-free samplers (their table is committed)
+        log("teacher cached; --teacher_only set, skipping sampler scoring")
+        return
+
     # the full int8 serving configuration (dynamic-int8 convs + int8
     # QK/PV attention) — the module bench.py's danra128serve times at
     # 68.6 samples/s/chip @128px; this row pins its QUALITY
@@ -190,7 +196,7 @@ def main():
         cards = {}
         for split, idx in (("calibration", train_idx), ("heldout", hold_idx)):
             card = parity_scorecard(gen[idx], truth[idx], lsm[idx])
-            card["fid"] = fid(gen[idx], truth[idx])
+            card["fid_rf"] = fid(gen[idx], truth[idx])
             cards[split] = card
         results[name] = {
             "steps": evals[name],
@@ -201,12 +207,12 @@ def main():
         log(f"[{name}] {dt:.0f}s  heldout rmse={cards['heldout']['rmse']:.2f} "
             f"w1={cards['heldout']['wasserstein1']:.2f} "
             f"moran={cards['heldout']['morans_i_gen']:.3f} "
-            f"fid={cards['heldout']['fid']:.1f}")
+            f"fid={cards['heldout']['fid_rf']:.1f}")
 
     # ---- write docs/FEWSTEP.md -------------------------------------------
     metrics = [
         ("rmse", "RMSE"), ("mae", "MAE"), ("crps", "CRPS"),
-        ("wasserstein1", "W1"), ("ks", "KS"), ("fid", "FID"),
+        ("wasserstein1", "W1"), ("ks", "KS"), ("fid_rf", "FID (rf)"),
         ("morans_i_gen", "Moran's I"),
         ("frac_outside_truth_range", "out-of-range"),
     ]

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 VARIANTS = [
@@ -153,10 +153,10 @@ def main():
         if b.get("gen") is None or b.get("eval") is None:
             continue
         card = parity_scorecard(b["gen"], b["eval"], b.get("lsm"))
-        card["fid"] = fid(b["gen"], b["eval"])
+        card["fid_rf"] = fid(b["gen"], b["eval"])
         yardstick[variant] = card
         log(f"[yardstick] {variant}: rmse={card['rmse']:.2f} "
-            f"w1={card['wasserstein1']:.2f} fid={card['fid']:.2f}")
+            f"w1={card['wasserstein1']:.2f} fid={card['fid_rf']:.2f}")
 
     # ---- 2. our side -----------------------------------------------------
     from probe_uniform_moran import augment
@@ -261,14 +261,14 @@ def main():
         for split, idx in (("calibration", train_idx), ("heldout", hold_idx)):
             mask = lsm[idx] if has_lsm else None
             card = parity_scorecard(gen[idx], truth[idx], mask)
-            card["fid"] = fid(gen[idx], truth[idx])
+            card["fid_rf"] = fid(gen[idx], truth[idx])
             # the reference's own gen on the IDENTICAL indices
             ref_card = parity_scorecard(b["gen"][idx], truth[idx], mask)
-            ref_card["fid"] = fid(b["gen"][idx], truth[idx])
+            ref_card["fid_rf"] = fid(b["gen"][idx], truth[idx])
             cards[split] = {"ours": card, "ref": ref_card}
             log(f"[ours/{variant.split('__')[0]}/{split}] "
                 f"rmse={card['rmse']:.2f} w1={card['wasserstein1']:.2f} "
-                f"fid={card['fid']:.2f} moran={card['morans_i_gen']:.3f} "
+                f"fid={card['fid_rf']:.2f} moran={card['morans_i_gen']:.3f} "
                 f"oor={card['frac_outside_truth_range']:.3f}")
         # provenance: the budget THIS card was produced with, so the
         # PARITY.md header describes the stored scorecards even after a
@@ -304,7 +304,7 @@ def main():
         ("crps", "CRPS"),
         ("wasserstein1", "Wasserstein-1"),
         ("ks", "KS distance"),
-        ("fid", "FID (random-feature)"),
+        ("fid_rf", "FID (rf)"),
         ("morans_i_gen", "Moran's I (gen)"),
         ("frac_outside_truth_range", "frac outside truth range"),
     ]
@@ -317,7 +317,7 @@ def main():
         "",
         "## 1. Reference yardstick (each variant's gen vs its truth)",
         "",
-        "| variant | RMSE | W1 | KS | FID | CRPS | out-of-range |",
+        "| variant | RMSE | W1 | KS | FID (rf) | CRPS | out-of-range |",
         "|---|---|---|---|---|---|---|",
     ]
     for v, c in yardstick.items():
@@ -326,7 +326,7 @@ def main():
             short += "/valloss"
         lines.append(
             f"| {short} | {c['rmse']:.2f} | {c['wasserstein1']:.2f} | "
-            f"{c['ks']:.3f} | {c['fid']:.2f} | {c['crps']:.2f} | "
+            f"{c['ks']:.3f} | {c['fid_rf']:.2f} | {c['crps']:.2f} | "
             f"{c['frac_outside_truth_range']:.3f} |"
         )
     lines += [
@@ -335,6 +335,12 @@ def main():
         "(gen range vs truth -9..25 degC) — its out-of-range fraction and",
         "distribution distances above are the bar to beat, not a gold",
         "standard.",
+        "",
+        "**FID (rf)** = Frechet distance over a fixed-weight random-feature",
+        "CNN extractor shipped in-repo (`evaluation/fid.py`,",
+        "`fid_weights.npz`) — deterministic and self-consistent across",
+        "these tables, but NOT comparable to published Inception-FID",
+        "numbers (stored as `fid_rf` in the JSON artifacts).",
         "",
         "## 2. Our side (flagship UNet, held-out protocol, per variant)",
         "",

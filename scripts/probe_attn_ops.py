@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 B, S, C, H, D = 16, 1024, 256, 4, 64
 L = 12  # context tokens

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 from diffusionmodelscustom_tpu.core import EDMConfig
 from diffusionmodelscustom_tpu.models.imagen import ElucidatedImagen, ImagenUNet

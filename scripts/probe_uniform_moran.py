@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 VARIANT = (
     "DDPM_conditional_uniform__temp__64x64__uniform_cond_lsm_topo_random__"
@@ -185,7 +185,7 @@ def main():
     results = {}
     for split, idx in (("calibration", train_idx), ("heldout", hold_idx)):
         card = parity_scorecard(gen[idx], truth[idx], lsm[idx])
-        card["fid"] = fid(gen[idx], truth[idx])
+        card["fid_rf"] = fid(gen[idx], truth[idx])
         ref_card = parity_scorecard(b["gen"][idx], truth[idx], lsm[idx])
         results[split] = {"ours": card, "ref_moran": ref_card["morans_i_gen"],
                           "ideal_moran": card.get("morans_i_ref")}
@@ -193,7 +193,7 @@ def main():
             f"(ref {ref_card['morans_i_gen']:.3f}, "
             f"ideal {card.get('morans_i_ref', 0):.3f}) "
             f"rmse={card['rmse']:.3f} w1={card['wasserstein1']:.3f} "
-            f"ks={card['ks']:.3f} fid={card['fid']:.3f} "
+            f"ks={card['ks']:.3f} fid={card['fid_rf']:.3f} "
             f"oor={card['frac_outside_truth_range']:.3f} "
             f"crps={card['crps']:.3f} mae={card['mae']:.3f} "
             f"bias={card['bias']:.3f}")
