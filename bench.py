@@ -122,7 +122,7 @@ def _time_sampler(sample_fn, batch):
 
 def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = "",
                 conv_quant: bool = False, pv_int8: bool = False,
-                num_steps: int | None = None):
+                num_steps: int | None = None, params_file: str | None = None):
     from __graft_entry__ import _example_batch, _flagship
     from diffusionmodelscustom_tpu.core import GaussianDiffusion
     from diffusionmodelscustom_tpu.models import ConditionalUNet
@@ -144,6 +144,16 @@ def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = "",
             cond["lsm"],
             cond["topo"],
         )["params"]
+        if params_file:
+            # time REAL weights (e.g. the distilled serving student from
+            # scripts/distill_quality.py) instead of random init — same
+            # graph, but makes the quality<->throughput pairing literal
+            from flax import serialization
+
+            params = serialization.from_bytes(
+                params, open(params_file, "rb").read()
+            )
+            log(f"loaded params from {params_file}")
 
         def denoise(x, t):
             return model.apply(
@@ -363,6 +373,11 @@ def main() -> None:
                  "cascade", "cascadeint8",
                  "train"],
     )
+    parser.add_argument(
+        "--params", default=None,
+        help="flax-serialized flagship params to time instead of random "
+             "init (e.g. /tmp/distill_student_25.bin for danra128serve)",
+    )
     args = parser.parse_args()
     _wait_for_backend()
     log(f"backend={jax.default_backend()} devices={len(jax.devices())} "
@@ -410,15 +425,20 @@ def main() -> None:
                     tag="danra128_cond_ddpm1000_sampling_int8",
                     conv_quant=True)
     elif args.config == "danra128serve":
-        # few-step serving: 25-step clamped DDIM (the distillation-
-        # validated budget, docs/FEWSTEP.md) + the FULL int8 serving mode
-        # (dynamic-int8 convs + int8 QK/PV attention — the configuration
-        # __graft_entry__._dryrun_serving validates on the mesh).
+        # few-step serving: 25-step clamped DDIM + the FULL int8 serving
+        # mode (dynamic-int8 convs + int8 QK/PV attention — the
+        # configuration __graft_entry__._dryrun_serving validates on the
+        # mesh). QUALITY at this budget is pinned by the PROGRESSIVELY
+        # DISTILLED 25-step student (docs/FEWSTEP.md distilled table,
+        # scripts/distill_quality.py), not the training-free DDIM-25 row;
+        # pass --params /path/to/distill_student_25.bin to time the
+        # actual student weights (same graph either way).
         # vs_baseline projects the reference at the SAME 25-step budget
         # (it has no few-step sampler, so this flatters it maximally).
         bench_danra(128, conditional=True, batch=32,
                     tag="danra128_cond_ddim25_int8_serving",
-                    conv_quant=True, pv_int8=True, num_steps=25)
+                    conv_quant=True, pv_int8=True, num_steps=25,
+                    params_file=args.params)
     elif args.config == "latencyserve":
         # batch-1 serving SLO on the few-step path: samples/s at batch 1
         # is the inverse per-sample latency (the log line prints seconds)

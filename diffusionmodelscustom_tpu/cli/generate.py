@@ -55,7 +55,107 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --conv_quant: also quantize the attention "
                         "PV matmul (full int8 attention)")
     p.add_argument("--out_dir", type=str, default=None)
+    p.add_argument("--full_domain", action="store_true",
+                   help="generate WHOLE-DOMAIN fields (no cutouts): the "
+                        "image height is sharded over the mesh 'model' "
+                        "axis (spatial partitioning; XLA inserts conv "
+                        "halo exchanges), so domains exceeding one "
+                        "chip's memory scale across the mesh")
     return p
+
+
+def _generate_full_domain(args, cfg, model, diffusion, dataset, loader):
+    """Whole-domain spatially-sharded generation (SURVEY §5.7; round-2
+    VERDICT item 7). Each sample is one full grid (e.g. DANRA's 589x789,
+    edge-padded to /16); batch rides the mesh 'data' axis and image
+    height the 'model' axis via spatial_batch_sharding."""
+    from ..parallel import make_mesh, spatial_batch_sharding
+    from ..sampling import ancestral_sample, ddim_sample, dpmpp_2m_sample
+    from .inference import load_inference_setup
+
+    model, params, batch_stats, sampler_name, sampler_steps = (
+        load_inference_setup(cfg, args, model, diffusion, loader)
+    )
+    n_dev = len(jax.devices())
+    n_data = min(args.sample_batch, max(1, n_dev // 2))
+    mesh = make_mesh(n_data, n_dev // n_data)
+    sharding = spatial_batch_sharding(mesh)
+    print(f"[generate] full-domain mesh data={n_data} "
+          f"model={n_dev // n_data}", file=sys.stderr)
+
+    rng = jax.random.key(cfg.training.seed)
+    bundles = {k: [] for k in ("gen", "eval", "lsm", "cond", "season")}
+    batch_size = args.sample_batch
+    n_batches = -(-args.n_samples // batch_size)
+    sample_jit = None
+    for bi in range(n_batches):
+        idxs = [(bi * batch_size + j) % len(dataset) for j in range(batch_size)]
+        samples = [dataset.full_domain_sample(i) for i in idxs]
+        h, w = samples[0]["img"].shape[:2]
+        dh, dw = (int(v) for v in samples[0]["domain_shape"])
+        batch = {
+            k: jnp.asarray(np.stack([s[k] for s in samples]))
+            for k in samples[0]
+            if k != "domain_shape"
+        }
+        # conditioning fields ride the same spatial sharding as the
+        # generated image so the UNet never gathers a full field
+        put = lambda v: jax.device_put(v, sharding) if v is not None and v.ndim == 4 else v
+        y = batch.get("classifier")
+        cond = put(batch.get("img_cond"))
+        lsm = put(batch.get("lsm"))
+        topo = put(batch.get("topo"))
+
+        if sample_jit is None:
+
+            def run(y, cond, lsm, topo, key):
+                variables = {"params": params}
+                if batch_stats is not None:
+                    variables["batch_stats"] = batch_stats
+
+                def denoise(x, t):
+                    return model.apply(variables, x, t, y, cond, lsm, topo)
+
+                shape = (batch_size, h, w, cfg.unet.out_channels)
+                if sampler_name == "ddim":
+                    return ddim_sample(denoise, diffusion, key, shape,
+                                       num_steps=sampler_steps)
+                if sampler_name == "dpmpp":
+                    return dpmpp_2m_sample(denoise, diffusion, key, shape,
+                                           num_steps=sampler_steps)
+                return ancestral_sample(denoise, diffusion, key, shape)
+
+            sample_jit = jax.jit(run, out_shardings=sharding)
+
+        with mesh:
+            out = sample_jit(y, cond, lsm, topo,
+                             jax.random.fold_in(rng, 2000 + bi))
+        # crop the /16 padding back to the true domain
+        bundles["gen"].append(np.asarray(out)[:, :dh, :dw])
+        bundles["eval"].append(np.asarray(batch["img"])[:, :dh, :dw])
+        if "lsm" in batch:
+            bundles["lsm"].append(np.asarray(batch["lsm"])[:, :dh, :dw])
+        if "img_cond" in batch:
+            bundles["cond"].append(np.asarray(batch["img_cond"])[:, :dh, :dw])
+        if "classifier" in batch:
+            bundles["season"].append(np.asarray(batch["classifier"]))
+        print(f"[generate] full-domain batch {bi + 1}/{n_batches} "
+              f"({dh}x{dw} padded to {h}x{w})", file=sys.stderr)
+
+    out_dir = Path(args.out_dir
+                   or Path(cfg.data.path_save) / "generated_samples_full")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    for key, chunks in bundles.items():
+        if not chunks:
+            continue
+        arr = np.concatenate(chunks)[: args.n_samples]
+        path = out_dir / f"{key}_samples.npz"
+        np.savez_compressed(path, data=arr)
+        written.append(path.name)
+    print(json.dumps({"n_samples": args.n_samples, "files": written,
+                      "out_dir": str(out_dir), "full_domain": True}))
+    return 0
 
 
 def main(argv=None) -> int:
@@ -91,6 +191,9 @@ def main(argv=None) -> int:
         logit_std=cfg.diffusion.flow_logit_std,
     )
     dataset, loader, _ = build_data(cfg, args.synthetic)
+    if args.full_domain:
+        return _generate_full_domain(args, cfg, model, diffusion,
+                                     dataset, loader)
 
     # restore best checkpoint (generation_DANRA_conditional.py:353-360);
     # shared with cli.serve so the two entry points cannot drift

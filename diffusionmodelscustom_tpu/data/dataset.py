@@ -518,6 +518,62 @@ class DanraDataset:
             batch["points"] = np.asarray(points, np.int32)
         return batch
 
+    def full_domain_sample(
+        self, idx: int, pad_multiple: int = 16
+    ) -> Dict[str, np.ndarray]:
+        """One WHOLE-DOMAIN sample — no cutout: every field at the full
+        grid, edge-padded up to ``pad_multiple`` so the UNet pyramid
+        divides it (the flagship has 4 downsamples -> 16).
+
+        Same keys and scaling as ``__getitem__``'s cutout path, plus
+        ``domain_shape`` = the unpadded (H, W) so callers crop generated
+        fields back. This feeds the spatially-sharded full-domain
+        generation path (``cli.generate --full_domain``; SURVEY §5.7) —
+        a capability the reference lacks entirely (it only ever samples
+        cutouts, data_DANRA_conditional.py:818-860).
+        """
+        cfg = self.cfg
+        file_name = self.files[idx]
+        sample: Dict[str, np.ndarray] = {}
+        if cfg.conditional_seasons:
+            assert cfg.n_classes is not None, "n_classes required for labels"
+            sample["classifier"] = np.asarray(
+                DateFromFile(file_name).classify(cfg.n_classes), np.int32
+            )
+
+        img = self._load_image(file_name)
+        h, w = img.shape
+        ph, pw = (-h) % pad_multiple, (-w) % pad_multiple
+
+        def pad(a: np.ndarray) -> np.ndarray:
+            return np.pad(a, ((0, ph), (0, pw)), mode="edge")
+
+        def scaled(a: np.ndarray) -> np.ndarray:
+            out = pad(np.asarray(a, np.float32))
+            if self.scaler is not None:
+                out = self.scaler(out)
+            return out[..., None]
+
+        sample["img"] = scaled(img)
+        if cfg.conditional_images:
+            cond = self._load_cond(self.files_cond[idx], img)
+            if cond.shape != img.shape:
+                cond = _resize2d(cond, (h, w))
+            sample["img_cond"] = scaled(cond)
+        def geo(a: np.ndarray) -> np.ndarray:
+            if a.shape != (h, w):  # geography grid differs from the store's
+                a = _resize2d(a, (h, w))
+            return pad(a)[..., None].astype(np.float32)
+
+        if self.lsm_full is not None:
+            sample["lsm"] = geo(self.lsm_full)
+        if self.topo_full is not None:
+            sample["topo"] = geo(self.topo_full)
+        if self._want_sdf():
+            sample["sdf"] = geo(normalize_sdf(generate_sdf(self.lsm_full)))
+        sample["domain_shape"] = np.asarray((h, w), np.int32)
+        return sample
+
     def _transform_mask(self, arr: np.ndarray) -> np.ndarray:
         """Masks/SDF are resized but NOT value-scaled — a deliberate
         divergence: the reference pushes lsm/topo/sdf through the same

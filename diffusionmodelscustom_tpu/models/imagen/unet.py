@@ -289,7 +289,11 @@ class TransformerBlock(nn.Module):
             )(out.reshape(b, h * w, inner))
             tokens = tokens + out
             ff = nn.LayerNorm(dtype=self.dtype, name=f"ff_ln{sfx}")(tokens)
-            ff = nn.Dense(c * self.ff_mult, dtype=self.dtype, name=f"ff1{sfx}")(ff)
+            # int(): the reference default ff_mult is the FLOAT 2.
+            # (imagen_video.py:1245), and widths must be concrete ints
+            ff = nn.Dense(
+                int(c * self.ff_mult), dtype=self.dtype, name=f"ff1{sfx}"
+            )(ff)
             ff = nn.gelu(ff)
             ff = nn.Dense(c, dtype=self.dtype, name=f"ff2{sfx}")(ff)
             tokens = tokens + ff

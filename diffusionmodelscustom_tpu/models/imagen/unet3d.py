@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from ...ops.embeddings import learned_sinusoidal_embedding
 from ...ops.resize import resize_image
-from .blocks import LinearAttention
+from .blocks import LinearAttention, PerceiverResampler
 from .unet import ResnetBlock, TransformerBlock, _attention_pool
 
 
@@ -309,6 +309,10 @@ class ImagenUNet3D(nn.Module):
     learned_sinu_dim: int = 16
     num_time_tokens: int = 2
     max_text_len: int = 256
+    # text pooling: 'perceiver' (the reference video net's default,
+    # imagen_video.py attn_pool_text=True) or 'attention_pool'
+    text_pool: str = "perceiver"
+    num_latents: int = 32  # imagen_video.py attn_pool_num_latents
     resnet_groups: int = 8
     init_dim: Optional[int] = None
     init_conv_kernel_size: int = 7
@@ -429,7 +433,21 @@ class ImagenUNet3D(nn.Module):
                 text_tokens = text_tokens * keep + null_text[None, :ln].astype(
                     self.dtype
                 ) * (1 - keep)
-            pooled = _attention_pool(text_tokens, text_mask)
+            if self.text_pool == "perceiver":
+                # PerceiverResampler pooling (imagen_video.py
+                # attn_pool_text=True default): the resampled latents
+                # replace the raw tokens as cross-attention context
+                resampled = PerceiverResampler(
+                    depth=2,
+                    num_latents=self.num_latents,
+                    dtype=self.dtype,
+                    name="perceiver",
+                )(text_tokens, text_mask)
+                pooled = resampled.mean(axis=1)
+                text_tokens = resampled
+                text_mask = None
+            else:
+                pooled = _attention_pool(text_tokens, text_mask)
             time_cond = time_cond + nn.Dense(
                 time_cond_dim, dtype=self.dtype, name="text_to_hidden"
             )(pooled)
@@ -483,11 +501,11 @@ class ImagenUNet3D(nn.Module):
         linear_cross = per_level(self.use_linear_cross_attn)
         n_blocks = per_level(self.num_resnet_blocks)
         skip_scale = 2**-0.5 if self.scale_skip_connection else 1.0
-        t_strides = (
-            list(self.temporal_strides)
-            if self.temporal_strides
-            else [1] * n_levels
-        )
+        ts = self.temporal_strides
+        if isinstance(ts, int):  # reference default is scalar 1
+            t_strides = [ts] * n_levels
+        else:
+            t_strides = list(ts) if ts else [1] * n_levels
         assert len(t_strides) == n_levels
 
         ResBlock = nn.remat(ResnetBlock) if self.memory_efficient else ResnetBlock
@@ -708,6 +726,7 @@ _REF_3D_KNOB_MAP = {
     "use_global_context_attn": "use_global_context",
     "num_image_tokens": None,
     "dropout": None,
+    "attn_pool_num_latents": "num_latents",
     # knobs whose video-net realization differs structurally here and is
     # intentionally not exposed (documented divergence): cross-embed stems
     # and pixel-shuffle spatial upsampling use the plain conv stems
@@ -715,8 +734,6 @@ _REF_3D_KNOB_MAP = {
     "init_cross_embed_kernel_sizes": None,
     "cross_embed_downsample": None,
     "cross_embed_downsample_kernel_sizes": None,
-    "attn_pool_text": None,
-    "attn_pool_num_latents": None,
     "combine_upsample_fmaps": None,
     "pixel_shuffle_upsample": None,
 }
@@ -728,6 +745,9 @@ def unet3d_from_ref_config(knobs: dict, **overrides) -> ImagenUNet3D:
     field_names = set(ImagenUNet3D.__dataclass_fields__)
     kw: dict = {}
     for key, val in knobs.items():
+        if key == "attn_pool_text":
+            kw["text_pool"] = "perceiver" if val else "attention_pool"
+            continue
         target = _REF_3D_KNOB_MAP.get(
             key, key if key in field_names else False
         )

@@ -57,6 +57,7 @@ def ancestral_sample(
     uncond_fn: Optional[DenoiseFn] = None,
     cfg_scale: float = 0.0,
     clip_denoised: bool = False,
+    churn: float = 0.0,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Full T-step ancestral sampling, fused into one scan.
@@ -65,6 +66,15 @@ def ancestral_sample(
     data_scaled variant), then T-1 reverse steps
     (src/diffusion_modules.py:127-186). ``clip_denoised`` clamps the
     implied x0 to [-1, 1] each step (off by default — see module doc).
+
+    ``churn > 0`` is a beyond-reference stochasticity knob — the discrete
+    DDPM analogue of EDM's S_churn (elucidated_imagen.py:393-549,
+    Karras et al. 2022): before each reverse step at level t the state is
+    lifted to t_hat = t + ceil(churn * t) with marginal-preserving forward
+    noise, then one skip-ancestral (eta=1 generalized DDIM) step lands on
+    t-1. Extra injected-then-removed noise re-randomizes high-frequency
+    content each step; probed against the two Moran's-I parity cells
+    (scripts/probe_churn.py). churn=0 keeps the exact reference chain.
     """
     rng_init, rng_loop = jax.random.split(rng)
     if x_init is None:
@@ -91,7 +101,35 @@ def ancestral_sample(
         x = diffusion.p_step(x, t, eps, z)
         return x, None
 
-    x, _ = jax.lax.scan(step, x, ts)
+    def churn_step(x, i):
+        # lift t -> t_hat with q(x_that | x_t) (keeps the forward marginal)
+        t_hat_i = jnp.minimum(
+            i + jnp.ceil(churn * i).astype(jnp.int32),
+            diffusion.n_timesteps - 1,
+        )
+        ab_t = diffusion.alpha_bar[i].astype(x.dtype)
+        ab_hat = diffusion.alpha_bar[t_hat_i].astype(x.dtype)
+        ratio = ab_hat / ab_t
+        extra_var = jnp.maximum((1.0 - ab_hat) - ratio * (1.0 - ab_t), 0.0)
+        lift_rng = jax.random.fold_in(rng_loop, i + diffusion.n_timesteps)
+        x = jnp.sqrt(ratio) * x + jnp.sqrt(extra_var) * jax.random.normal(
+            lift_rng, x.shape, x.dtype
+        )
+        t_hat = jnp.full((batch,), t_hat_i, jnp.int32)
+        eps = _predict(denoise_fn, uncond_fn, cfg_scale, x, t_hat)
+        # one stochastic skip step t_hat -> i-1 (eta=1 generalized DDIM =
+        # the ancestral posterior when t_hat == i and the stride is 1)
+        z = jax.random.normal(
+            jax.random.fold_in(rng_loop, i), x.shape, x.dtype
+        )
+        z = jnp.where(i > 1, z, jnp.zeros_like(z))
+        x = diffusion.ddim_step(
+            x, t_hat, jnp.full((batch,), i - 1, jnp.int32), eps, z, 1.0,
+            clip_denoised=clip_denoised,
+        )
+        return x, None
+
+    x, _ = jax.lax.scan(churn_step if churn > 0.0 else step, x, ts)
     return x
 
 

@@ -106,7 +106,12 @@ class ProgressiveDistiller:
     ):
         self.model = model
         self.diffusion = diffusion
-        self.teacher_params = teacher_params
+        # device_put ONCE: the teacher is passed as a jit argument every
+        # step (see distill_step), and host (numpy) leaves — e.g. params
+        # freshly deserialized from a checkpoint — would be re-uploaded
+        # per call (62 MB/step over a remote-TPU tunnel = ~1 s/step,
+        # measured round 3). Device arrays pass by reference.
+        self.teacher_params = jax.device_put(teacher_params)
         self.config = config
         if config.num_student_steps > diffusion.n_timesteps:
             # linspace spacing < 1 would round to duplicate grid entries,

@@ -383,6 +383,64 @@ class TestUnet3DKnobs:
         assert "mid_attn" in v["params"]
         assert "final_res_block" in v["params"]
 
+    def test_realistic_video_config_roundtrip(self):
+        """Round-2 VERDICT item 10: a REALISTIC imagen-video config — the
+        reference Unet3D's own defaults plus the knobs real video configs
+        set (imagen_video.py:1226-1278 kwarg surface, scalar
+        temporal_strides=1, attn_pool_text=True, pixel_shuffle_upsample)
+        — parses through unet3d_from_ref_config and runs, at toy dims."""
+        from diffusionmodelscustom_tpu.models.imagen.unet3d import (
+            unet3d_from_ref_config,
+        )
+
+        knobs = dict(
+            # every reference __init__ kwarg, at its reference default
+            # except the dims (toy) and per-level lists (2 levels)
+            dim=8, text_embed_dim=16, num_resnet_blocks=1, cond_dim=None,
+            num_image_tokens=4, num_time_tokens=2,
+            learned_sinu_pos_emb_dim=8, out_dim=None, dim_mults=[1, 2],
+            temporal_strides=1,  # reference default: SCALAR
+            cond_images_channels=0, channels=3, channels_out=None,
+            attn_dim_head=8, attn_heads=2, ff_mult=2.0,
+            ff_time_token_shift=True, lowres_cond=False,
+            layer_attns=False, layer_attns_depth=1,
+            layer_attns_add_text_cond=True, attend_at_middle=True,
+            time_rel_pos_bias_depth=2, time_causal_attn=True,
+            layer_cross_attns=True, use_linear_attn=False,
+            use_linear_cross_attn=False, cond_on_text=True,
+            max_text_len=8, init_dim=None, resnet_groups=4,
+            init_conv_kernel_size=7, init_cross_embed=True,
+            init_cross_embed_kernel_sizes=(3, 7, 15),
+            cross_embed_downsample=False,
+            cross_embed_downsample_kernel_sizes=(2, 4),
+            attn_pool_text=True, attn_pool_num_latents=4,
+            dropout=0.0, memory_efficient=False,
+            init_conv_to_final_conv_residual=False,
+            use_global_context_attn=True, scale_skip_connection=True,
+            final_resnet_block=True, final_conv_kernel_size=3,
+            self_cond=False, combine_upsample_fmaps=False,
+            pixel_shuffle_upsample=True, resize_mode="nearest",
+        )
+        net = unet3d_from_ref_config(knobs)
+        assert net.text_pool == "perceiver" and net.num_latents == 4
+        x = jnp.zeros((1, 3, 8, 8, 3))
+        nc = jnp.zeros((1,))
+        te = jax.random.normal(jax.random.key(2), (1, 4, 16))
+        tm = jnp.ones((1, 4), bool)
+        v = net.init(jax.random.key(0), x, nc, text_embeds=te, text_mask=tm)
+        assert "perceiver" in v["params"]
+        out = net.apply(v, x, nc, text_embeds=te, text_mask=tm)
+        assert out.shape == (1, 3, 8, 8, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_attn_pool_text_false_maps_to_masked_mean(self):
+        from diffusionmodelscustom_tpu.models.imagen.unet3d import (
+            unet3d_from_ref_config,
+        )
+
+        net = unet3d_from_ref_config({"dim": 8, "attn_pool_text": False})
+        assert net.text_pool == "attention_pool"
+
     def test_unknown_3d_knob_rejected(self):
         from diffusionmodelscustom_tpu.models.imagen.unet3d import (
             unet3d_from_ref_config,

@@ -293,3 +293,57 @@ def test_dpmpp_clip_denoised_bounds_output():
         clip_denoised=True,
     )
     assert float(jnp.max(jnp.abs(clipped))) < 1.5
+
+
+def test_ancestral_churn_perfect_denoiser_recovers_mean():
+    """churn > 0 (discrete S_churn, elucidated_imagen.py:393-549 analogue)
+    still converges to the data with a perfect denoiser — the lift/step
+    pair preserves the marginal at every level."""
+    diff = GaussianDiffusion.create(n_timesteps=100)
+    c = 0.7
+
+    def denoise_fn(x, t):
+        ab = diff.alpha_bar[t].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(ab) * c) / jnp.sqrt(1 - ab)
+
+    out = ancestral_sample(
+        denoise_fn, diff, jax.random.key(0), (4, 8, 8, 1), churn=0.2
+    )
+    assert out.shape == (4, 8, 8, 1)
+    assert abs(float(out.mean()) - c) < 0.2
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ancestral_churn_zero_is_exact_reference_chain():
+    """churn=0.0 must take the ORIGINAL p_step scan (bitwise identical)."""
+    diff = GaussianDiffusion.create(n_timesteps=30)
+
+    def denoise_fn(x, t):
+        return 0.1 * x
+
+    a = ancestral_sample(denoise_fn, diff, jax.random.key(3), (2, 8, 8, 1))
+    b = ancestral_sample(
+        denoise_fn, diff, jax.random.key(3), (2, 8, 8, 1), churn=0.0
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ancestral_churn_changes_samples_and_jits():
+    diff = GaussianDiffusion.create(n_timesteps=30)
+
+    def denoise_fn(x, t):
+        return 0.1 * x
+
+    f = jax.jit(
+        lambda rng: ancestral_sample(
+            denoise_fn, diff, rng, (2, 8, 8, 1), churn=0.3,
+            clip_denoised=True,
+        )
+    )
+    out = f(jax.random.key(1))
+    base = ancestral_sample(
+        denoise_fn, diff, jax.random.key(1), (2, 8, 8, 1),
+        clip_denoised=True,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(np.abs(np.asarray(out) - np.asarray(base)).max()) > 1e-4
