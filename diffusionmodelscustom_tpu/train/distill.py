@@ -123,6 +123,19 @@ class ProgressiveDistiller:
         self.grid = student_ddim_grid(
             diffusion.n_timesteps, config.num_student_steps
         )
+        # The grid is passed to the jitted step as an ARGUMENT, padded to a
+        # fixed length (n_timesteps + 2 bounds every legal grid), and the
+        # round's step count as a traced scalar. This keeps the step's HLO
+        # byte-identical across halving rounds — with grid/num_steps as
+        # closure constants every round was a full recompile (~10 min each
+        # on the remote backend; 8 rounds of scripts/distill_quality.py is
+        # ~80 min of pure compile), now round 2+ hit the persistent
+        # compilation cache.
+        pad = diffusion.n_timesteps + 2 - self.grid.size
+        self._grid_padded = jnp.concatenate(
+            [self.grid, jnp.full((pad,), -1, jnp.int32)]
+        )
+        self._n_steps = jnp.asarray(config.num_student_steps, jnp.int32)
         self.tx = make_optimizer(
             config.optimizer,
             config.learning_rate,
@@ -158,16 +171,22 @@ class ProgressiveDistiller:
         )
 
     def _step_impl(
-        self, state: TrainState, teacher_params, batch: Batch, rng: jax.Array
+        self,
+        state: TrainState,
+        teacher_params,
+        batch: Batch,
+        rng: jax.Array,
+        grid: jnp.ndarray,
+        n_steps: jnp.ndarray,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng_i, rng_noise = jax.random.split(rng)
         x0 = batch["img"]
         b = x0.shape[0]
 
         # pick a student step (t -> u) per sample; teacher midpoint s
-        i = jax.random.randint(rng_i, (b,), 0, self.config.num_student_steps)
-        t = self.grid[i]
-        u = self.grid[i + 1]
+        i = jax.random.randint(rng_i, (b,), 0, n_steps)
+        t = grid[i]
+        u = grid[i + 1]
         # midpoint, clamped to 0: for the final sliver (t=0 -> u=-1) the
         # first teacher "step" t->s degenerates to the identity and the
         # target reduces to the teacher's own eps — correct, and it keeps
@@ -207,10 +226,13 @@ class ProgressiveDistiller:
     def distill_step(
         self, state: TrainState, batch: Batch, rng: jax.Array
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        # teacher passed as a jit ARGUMENT: captured in the closure it
-        # would be baked into the HLO as constants (executable bloat and
-        # a guaranteed cache miss per halving round)
-        return self._step(state, self.teacher_params, batch, rng)
+        # teacher/grid/num_steps passed as jit ARGUMENTS: captured in the
+        # closure they would be baked into the HLO as constants (executable
+        # bloat and a guaranteed compile-cache miss per halving round)
+        return self._step(
+            state, self.teacher_params, batch, rng,
+            self._grid_padded, self._n_steps,
+        )
 
 
 def progressive_distill(
