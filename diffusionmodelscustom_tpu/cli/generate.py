@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", type=str, default=None,
                    choices=["ancestral", "ddim", "dpmpp", "flow"])
     p.add_argument("--ddim_steps", type=int, default=None)
+    p.add_argument("--churn", type=float, default=None,
+                   help="sample-time stochastic churn for the ancestral "
+                        "sampler (EDM S_churn analogue; 0 = exact "
+                        "reference chain)")
     p.add_argument("--use_ema", action="store_true", default=True)
     p.add_argument("--no-use_ema", dest="use_ema", action="store_false",
                    help="sample with the raw (non-EMA) parameters")
@@ -123,7 +127,8 @@ def _generate_full_domain(args, cfg, model, diffusion, dataset, loader):
                 if sampler_name == "dpmpp":
                     return dpmpp_2m_sample(denoise, diffusion, key, shape,
                                            num_steps=sampler_steps)
-                return ancestral_sample(denoise, diffusion, key, shape)
+                return ancestral_sample(denoise, diffusion, key, shape,
+                                        churn=cfg.diffusion.churn)
 
             sample_jit = jax.jit(run, out_shardings=sharding)
 
@@ -168,6 +173,8 @@ def main(argv=None) -> int:
         cfg = cfg.update({"diffusion.sampler": args.sampler})
     if args.ddim_steps:
         cfg = cfg.update({"diffusion.ddim_steps": args.ddim_steps})
+    if args.churn is not None:
+        cfg = cfg.update({"diffusion.churn": args.churn})
 
     from ..core import make_process
     from ..sampling import (
@@ -261,7 +268,8 @@ def main(argv=None) -> int:
                         num_steps=sampler_steps,
                         method=cfg.diffusion.flow_method, **kw,
                     )
-                return ancestral_sample(denoise, diffusion, key, shape, **kw)
+                return ancestral_sample(denoise, diffusion, key, shape,
+                                        churn=cfg.diffusion.churn, **kw)
 
             sample_jit = sample_jits[b] = jax.jit(run)
 

@@ -141,7 +141,8 @@ class SamplerService:
                 return flow_sample(denoise, diffusion, key, shape,
                                    num_steps=steps,
                                    method=cfg.diffusion.flow_method, **kw)
-            return ancestral_sample(denoise, diffusion, key, shape, **kw)
+            return ancestral_sample(denoise, diffusion, key, shape,
+                                    churn=cfg.diffusion.churn, **kw)
 
         self._run = jax.jit(run)
         self._jnp = jnp

@@ -88,6 +88,11 @@ class DiffusionConfig:
     process: str = "ddpm"  # ddpm | flow
     sampler: str = "ancestral"  # ancestral | ddim | dpmpp | flow
     ddim_steps: int = 50  # step budget for the few-step samplers
+    # sample-time stochastic churn for the ancestral sampler (discrete
+    # DDPM analogue of EDM S_churn, sampling/ancestral.py); 0 = the exact
+    # reference chain. Probed against the Moran's-I parity cells
+    # (scripts/probe_churn.py, PARITY.md §3).
+    churn: float = 0.0
     flow_method: str = "euler"  # euler | heun (flow sampler only)
     flow_time_sampling: str = "uniform"  # uniform | logit_normal
     flow_logit_mean: float = 0.0  # logit_normal time-sampling location

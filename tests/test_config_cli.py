@@ -187,6 +187,29 @@ def test_generate_cli_end_to_end(tmp_path):
     assert np.isfinite(gen).all()
 
 
+def test_generate_cli_ancestral_churn(tmp_path):
+    """--churn wires diffusion.churn into the ancestral sampler's
+    stochastic-churn scan (sampling/ancestral.py churn_step) end-to-end."""
+    from diffusionmodelscustom_tpu.cli.generate import main
+
+    rc = main([
+        "--platform", "cpu", "--synthetic",
+        "--n_samples", "2", "--sample_batch", "2", "--hr_size", "16",
+        "--sampler", "ancestral", "--churn", "0.3",
+        "--path_data", str(tmp_path / "data"),
+        "--path_save", str(tmp_path / "runs"),
+        "--set", "diffusion.n_timesteps=20",
+        "--set", "unet.base_channels=8",
+    ])
+    assert rc == 0
+    import numpy as np
+
+    gen = np.load(
+        tmp_path / "runs" / "generated_samples" / "gen_samples.npz"
+    )["data"]
+    assert gen.shape[0] == 2 and np.isfinite(gen).all()
+
+
 def test_imagen_cli_train_and_sample_end_to_end(tmp_path):
     """C36 surface: imagen train --synthetic trains a stage and saves its
     state; imagen sample restores it and writes an npz image bundle."""
