@@ -94,6 +94,35 @@ class TemporalConv(nn.Module):
         return x + out
 
 
+class TemporalPEG(nn.Module):
+    """Temporal position-encoding generator (imagen_video.py:1412-1413):
+    ``Residual(Pad + Conv3d(dim, dim, (3, 1, 1), groups=dim))`` — a
+    depthwise conv over the frame axis, applied immediately before each
+    temporal attention so the attention sees convolutional positional
+    information. Causal nets pad (2, 0) over frames (the reference's
+    ``time_causal_attn`` padding), acausal (1, 1)."""
+
+    channels: int
+    causal: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, f, h, w, c = x.shape
+        tokens = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        pad = (2, 0) if self.causal else (1, 1)
+        out = nn.Conv(
+            self.channels,
+            (3,),
+            padding=(pad,),
+            feature_group_count=self.channels,
+            dtype=self.dtype,
+            name="conv",
+        )(tokens)
+        out = out.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+        return x + out
+
+
 class DynamicPositionBias(nn.Module):
     """Continuous relative-position bias over frame distance
     (imagen_video.py:1180-1221): a small MLP maps the signed frame offset
@@ -521,6 +550,14 @@ class ImagenUNet3D(nn.Module):
             )(flat, ctx if self.layer_attns_add_text_cond else None)
 
         def temporal_attn(hx, name):
+            # PEG immediately before every temporal attention
+            # (imagen_video.py:1744, 1865, 1882, 1905)
+            hx = TemporalPEG(
+                hx.shape[-1],
+                causal=self.time_causal_attn,
+                dtype=self.dtype,
+                name=f"{name}_peg",
+            )(hx)
             return TemporalAttention(
                 n_heads=self.attn_heads,
                 causal=self.time_causal_attn,
@@ -538,6 +575,14 @@ class ImagenUNet3D(nn.Module):
         hx = unfold_frames(flat, bf)
         init_feats = hx if self.init_conv_to_final_conv_residual else None
         if not ignore_time:
+            # init_conv -> init_temporal_peg -> temporal mixing
+            # (imagen_video.py:1742-1744)
+            hx = TemporalPEG(
+                self.init_dim or dims[0],
+                causal=self.time_causal_attn,
+                dtype=self.dtype,
+                name="init_tpeg",
+            )(hx)
             hx = TemporalConv(
                 self.init_dim or dims[0], dtype=self.dtype, name="init_temporal"
             )(hx)
@@ -763,6 +808,7 @@ __all__ = [
     "ImagenUNet3D",
     "unet3d_from_ref_config",
     "TemporalConv",
+    "TemporalPEG",
     "TemporalAttention",
     "TemporalDownsample",
     "TemporalPixelShuffleUpsample",

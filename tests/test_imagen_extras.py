@@ -182,6 +182,35 @@ class TestVideoTemporal:
         z = up.apply(pu, y)
         assert z.shape == x.shape
 
+    def test_temporal_peg_module_and_placement(self):
+        """TemporalPEG (imagen_video.py:1412-1413): depthwise residual
+        frame conv; causal variant must not leak future frames; the net
+        places one before every temporal attention + at init."""
+        from diffusionmodelscustom_tpu.models.imagen.unet3d import TemporalPEG
+
+        x = jax.random.normal(jax.random.key(0), (2, 6, 4, 4, 8))
+        peg = TemporalPEG(8, causal=True)
+        p = peg.init(jax.random.key(1), x)
+        y = peg.apply(p, x)
+        assert y.shape == x.shape
+        # causality: perturbing the LAST frame leaves earlier outputs alone
+        x2 = x.at[:, -1].set(0.0)
+        y2 = peg.apply(p, x2)
+        np.testing.assert_allclose(
+            np.asarray(y[:, :-1]), np.asarray(y2[:, :-1]), atol=1e-6
+        )
+        # depthwise: kernel is (3, 1, C) (feature_group_count = C)
+        assert p["params"]["conv"]["kernel"].shape == (3, 1, 8)
+
+        unet = self._unet()
+        xv = jax.random.normal(jax.random.key(2), (1, 3, 16, 16, 3))
+        params = unet.init(jax.random.key(3), xv, jnp.zeros((1,)))["params"]
+        peg_names = [k for k in params if k.endswith("_peg") or k == "init_tpeg"]
+        assert "init_tpeg" in peg_names
+        assert any(k.startswith("down_") for k in peg_names)
+        assert any(k.startswith("up_") for k in peg_names)
+        assert "mid_tattn_peg" in peg_names
+
     def test_unet3d_with_temporal_strides(self):
         unet = self._unet(temporal_strides=(1, 2))
         x = jax.random.normal(jax.random.key(0), (1, 4, 16, 16, 3))
