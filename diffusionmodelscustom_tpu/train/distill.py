@@ -84,7 +84,26 @@ class DistillConfig:
     grad_clip_norm: Optional[float] = None
     ema: bool = True
     ema_decay: float = 0.995
-    snr_loss_weight: bool = True  # max(1, SNR) truncated weighting
+    # The paper's truncated-SNR weighting (max(SNR,1) on the x0 error) is
+    # max(1, 1/SNR) in this epsilon-space loss — UNBOUNDED as SNR -> 0
+    # (~3100x at t=799 of an 800-step linear schedule). Measured on the
+    # parity flagship (scripts/probe_distill_r3.py, one N=400 round,
+    # student scored at DDIM-50 vs its teacher's 5.41 RMSE / 162 FID):
+    # weighted loss DIVERGES and corrupts the student (flat lr 11.18 /
+    # 1999; even warmup-cosine 8.63 / 665) while unweighted + warmup-
+    # cosine holds 5.87 / 193. Default False; True reproduces the paper's
+    # Appendix-E weighting for x0/v-parameterized setups where it is
+    # bounded.
+    snr_loss_weight: bool = False
+    # Per-round warmup-cosine schedule (both must be set): ramps 0 ->
+    # learning_rate over ``warmup_steps`` then cosine-decays to 0 at
+    # ``total_steps``. A fully-converged teacher ends its own cosine at
+    # ~0 lr; restarting a FLAT-lr Adam on it takes large early steps that
+    # corrupt the student before the distill target re-anchors it
+    # (unweighted flat-lr arm: 9.09 RMSE / 899 FID vs warmup-cosine's
+    # 5.87 / 193 — scripts/probe_distill_r3.py).
+    warmup_steps: int = 0
+    total_steps: Optional[int] = None
 
 
 class ProgressiveDistiller:
@@ -136,11 +155,23 @@ class ProgressiveDistiller:
             [self.grid, jnp.full((pad,), -1, jnp.int32)]
         )
         self._n_steps = jnp.asarray(config.num_student_steps, jnp.int32)
+        schedule = None
+        if config.warmup_steps and config.total_steps:
+            import optax
+
+            schedule = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=config.learning_rate,
+                warmup_steps=config.warmup_steps,
+                decay_steps=config.total_steps,
+                end_value=0.0,
+            )
         self.tx = make_optimizer(
             config.optimizer,
             config.learning_rate,
             weight_decay=config.weight_decay,
             grad_clip_norm=config.grad_clip_norm,
+            schedule=schedule,
         )
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 

@@ -160,8 +160,12 @@ def main():
     params = teacher
     n_steps = START_STEPS
     while True:
+        # warmup-cosine per round + unweighted eps loss: the measured
+        # non-corrupting recipe (scripts/probe_distill_r3.py;
+        # FEWSTEP.json['distill_probe'])
         cfg = DistillConfig(
-            learning_rate=1e-4, num_student_steps=n_steps
+            learning_rate=1e-4, num_student_steps=n_steps,
+            warmup_steps=200, total_steps=STEPS_PER_ROUND,
         )
         d = ProgressiveDistiller(model, diffusion, params, cfg)
         state = d.init_state()
