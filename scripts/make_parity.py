@@ -92,6 +92,12 @@ VARIANT_AUG: dict = {}
 # so the cond->field mapping generalizes to held-out cond values.
 # Populated per probe_uniform_moran.py measurements; empty = off.
 VARIANT_COND_JITTER: dict = {}
+# sample-time stochastic churn (EDM S_churn-style, ancestral_sample's
+# churn=) — the measured winner for the Moran's-I oversmoothing cells
+# (scripts/probe_churn.py, PARITY.json["churn_probe"]): uniform variant
+# held-out Moran 0.753 -> 0.866 (ref 0.812) at +0.15 degC RMSE,
+# saturating by 0.05. Exact-parity chains stay churn = 0.
+VARIANT_CHURN: dict = {_UNIFORM: 0.05}
 DATA_MIN, DATA_MAX = -15.0, 30.0  # Celsius scale range for [-1, 1]
 
 
@@ -252,6 +258,7 @@ def main():
                 denoise, diffusion, jax.random.fold_in(jax.random.key(7), start),
                 (cb["img"].shape[0], 64, 64, 1),
                 clip_denoised=True,
+                churn=VARIANT_CHURN.get(variant, 0.0),
             )
             gens.append(np.asarray(jax.device_get(out))[..., 0])
         log(f"sampled {n} in {time.time() - t0:.0f}s")
