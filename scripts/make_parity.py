@@ -96,8 +96,12 @@ VARIANT_COND_JITTER: dict = {}
 # churn=) — the measured winner for the Moran's-I oversmoothing cells
 # (scripts/probe_churn.py, PARITY.json["churn_probe"]): uniform variant
 # held-out Moran 0.753 -> 0.866 (ref 0.812) at +0.15 degC RMSE,
-# saturating by 0.05. Exact-parity chains stay churn = 0.
-VARIANT_CHURN: dict = {_UNIFORM: 0.05}
+# saturating by 0.05; unconditional variant cal/held-out Moran
+# 0.875/0.855 -> 0.952/0.952 (ref 0.908/0.892, ideal 0.971/0.970) at an
+# fid_rf cost (6.7/32 -> 102/62) that still beats the reference's
+# 1721/1624 by >15x. With these recipes every parity cell is won or
+# tied (PARITY.md §3). Exact-parity chains stay churn = 0.
+VARIANT_CHURN: dict = {_UNIFORM: 0.05, _UNCOND: 0.05}
 DATA_MIN, DATA_MAX = -15.0, 30.0  # Celsius scale range for [-1, 1]
 
 
