@@ -13,9 +13,13 @@ from .metrics import (
     peirce_skill_score,
     pixel_distribution,
     pixel_errors,
+    psd_distance,
+    rapsd,
 )
 
 __all__ = [
+    "psd_distance",
+    "rapsd",
     "fid",
     "fid_from_features",
     "frechet_distance",

@@ -152,6 +152,60 @@ def morans_i(field: np.ndarray, mask=None) -> float:
     return float(n / w_sum * num / denom)
 
 
+def rapsd(field: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Radially-averaged power spectral density of one (H, W) field.
+
+    The standard second-order texture statistic for climate-field
+    generation (used to diagnose exactly the oversmoothing/over-sharpening
+    tradeoffs Moran's I summarizes to one number): 2-D periodogram,
+    averaged over annular bins of integer radial wavenumber. Returns
+    (wavenumbers, psd) with the DC bin excluded. One of the reference's
+    planned-but-missing second-order metrics
+    (evaluation_DANRA_conditional.py:251-257 lists only first-order
+    bias/EV items — PSD closes the texture gap its TODO list leaves).
+
+    PSD is computed on the FULL field (no ocean mask): the FFT needs a
+    complete grid, and masking would alias the coastline into every
+    wavenumber.
+    """
+    f = np.asarray(field, np.float64).squeeze()
+    assert f.ndim == 2, "rapsd expects one (H, W) field"
+    h, w = f.shape
+    psd2 = np.abs(np.fft.fft2(f)) ** 2 / (h * w)
+    ky = np.fft.fftfreq(h) * h
+    kx = np.fft.fftfreq(w) * w
+    k = np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
+    kmax = int(min(h, w) // 2)
+    kbin = np.clip(np.rint(k).astype(int), 0, None)
+    sums = np.bincount(kbin.ravel(), weights=psd2.ravel(), minlength=kmax + 1)
+    counts = np.bincount(kbin.ravel(), minlength=kmax + 1)
+    radial = sums[1 : kmax + 1] / np.maximum(counts[1 : kmax + 1], 1)
+    return np.arange(1, kmax + 1, dtype=np.float64), radial
+
+
+def psd_distance(gen: np.ndarray, truth: np.ndarray) -> float:
+    """Log-spectral distance between ensemble-mean radial power spectra.
+
+    mean_k |log10 PSD_gen(k) - log10 PSD_truth(k)| over radial wavenumbers,
+    with each side's PSD first averaged over the sample axis. 0 = the
+    generated fields carry the truth's power at every spatial scale;
+    oversmoothing shows as missing high-k power, few-step residual noise
+    as excess high-k power. Complements the random-feature FID
+    (`evaluation/fid.py`) with a physically-interpretable texture
+    statistic (round-3 VERDICT item 4).
+    """
+    gen = np.asarray(gen, np.float64).reshape(-1, *np.asarray(gen).shape[-2:])
+    truth = np.asarray(truth, np.float64).reshape(
+        -1, *np.asarray(truth).shape[-2:]
+    )
+    pg = np.mean([rapsd(g)[1] for g in gen], axis=0)
+    pt = np.mean([rapsd(t)[1] for t in truth], axis=0)
+    eps = 1e-20
+    return float(
+        np.mean(np.abs(np.log10(pg + eps) - np.log10(pt + eps)))
+    )
+
+
 def _contingency(
     gen: np.ndarray, ref: np.ndarray, threshold: float, mask=None
 ) -> Tuple[float, float, float, float]:
@@ -291,6 +345,8 @@ __all__ = [
     "pixel_distribution",
     "crps_ensemble",
     "morans_i",
+    "rapsd",
+    "psd_distance",
     "heidke_skill_score",
     "peirce_skill_score",
     "evaluate_fields",

@@ -19,7 +19,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from .metrics import crps_ensemble, evaluate_fields
+from .metrics import crps_ensemble, evaluate_fields, psd_distance
 
 
 def _masked_values(x: np.ndarray, lsm: Optional[np.ndarray]) -> np.ndarray:
@@ -100,6 +100,7 @@ def parity_scorecard(
         wasserstein1=_wasserstein1(gv, tv),
         ks=_ks_distance(gv, tv),
         crps=float(crps_ensemble(gen, truth.mean(axis=0))),
+        psd_dist=psd_distance(gen, truth),
         frac_outside_truth_range=float(
             np.mean((gv < tv.min() - 5.0) | (gv > tv.max() + 5.0))
         ),

@@ -237,3 +237,56 @@ class TestPlannedMetrics:
         ev = extreme_value_stats(x)
         assert ev["q0.9"] < ev["q0.99"] < ev["q0.999"]
         assert ev["block_maxima_mean"] > ev["q0.99"]
+
+
+class TestPSD:
+    def test_rapsd_parseval_and_shape(self):
+        from diffusionmodelscustom_tpu.evaluation import rapsd
+
+        rng = np.random.default_rng(0)
+        f = rng.normal(size=(64, 64))
+        k, p = rapsd(f)
+        assert k.shape == p.shape == (32,)
+        assert np.all(p > 0)
+        # white noise: flat spectrum (low-k mean within 2x of high-k mean)
+        lo, hi = p[:8].mean(), p[-8:].mean()
+        assert 0.5 < lo / hi < 2.0
+
+    def test_rapsd_smooth_field_concentrates_low_k(self):
+        from diffusionmodelscustom_tpu.evaluation import rapsd
+
+        y, x = np.mgrid[0:64, 0:64]
+        f = np.sin(2 * np.pi * 2 * x / 64)  # single low wavenumber
+        k, p = rapsd(f)
+        assert p[1] == p.max()  # k=2 bin dominates
+        assert p[1] > 100 * p[20]
+
+    def test_psd_distance_zero_for_identical_and_detects_smoothing(self):
+        from diffusionmodelscustom_tpu.evaluation import psd_distance
+
+        rng = np.random.default_rng(1)
+        truth = rng.normal(size=(10, 64, 64))
+        assert psd_distance(truth, truth) < 1e-12
+        # box-smoothed gen loses high-k power -> positive distance,
+        # larger for stronger smoothing
+        def smooth(x, w):
+            k = np.ones((w, w)) / (w * w)
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            pad = np.pad(x, ((0, 0), (w // 2, w - 1 - w // 2),
+                             (w // 2, w - 1 - w // 2)), mode="wrap")
+            v = sliding_window_view(pad, (w, w), axis=(1, 2))
+            return (v * k).sum(axis=(-1, -2))
+
+        d2 = psd_distance(smooth(truth, 2), truth)
+        d4 = psd_distance(smooth(truth, 4), truth)
+        assert 0 < d2 < d4
+
+    def test_psd_distance_scorecard_integration(self):
+        from diffusionmodelscustom_tpu.evaluation.parity import parity_scorecard
+
+        rng = np.random.default_rng(2)
+        truth = rng.normal(size=(6, 32, 32))
+        card = parity_scorecard(truth + 0.1 * rng.normal(size=truth.shape),
+                                truth)
+        assert "psd_dist" in card and np.isfinite(card["psd_dist"])
