@@ -35,6 +35,37 @@ from ..ops.quantized_conv import DynamicInt8Conv3x3
 from ..ops.resize import resize_image, upsample_2x
 
 
+class _ConvKernel(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv(..., use_bias=False)``:
+    declares the identical ("kernel", (3,3,Cin,Cout) f32) leaf so the
+    fused Pallas path (ops/fused_conv_gn.py) shares checkpoints with the
+    unfused model byte-for-byte."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32,
+        )
+
+
+class _GNParams(nn.Module):
+    """Parameter-only stand-in for ``nn.GroupNorm`` (scale/bias leaves)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,),
+                       jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32),
+        )
+
+
 class DoubleConv(nn.Module):
     """3x3 conv -> GroupNorm -> GELU -> 3x3 conv -> GroupNorm, optional
     residual with trailing GELU (src/unet_ms.py:30-49)."""
@@ -53,6 +84,13 @@ class DoubleConv(nn.Module):
     # differentiable, same parameter tree). Measured in-context before
     # defaulting — see the probe notes in scripts/probe_im2col_r2.py.
     im2col_narrow: bool = False
+    # fused width-packed conv+GN(1)+GELU Pallas kernel for the narrow
+    # halves (ops/fused_conv_gn.py): pack/unpack stays INSIDE the kernel
+    # (bitcast at the HBM boundary) so XLA layout assignment never sees
+    # it, and the norm+activation epilogue runs on the VMEM-resident
+    # accumulator. Same parameter tree (see _ConvKernel/_GNParams).
+    # Probe: scripts/probe_fused_conv_r4.py.
+    fused_narrow: bool = False
 
     def _norm(self, channels: int, name: str):
         # Measured (v5e, round 2): swapping in the fused Pallas GroupNorm1
@@ -90,12 +128,43 @@ class DoubleConv(nn.Module):
             return Im2ColConv3x3(features, dtype=self.dtype, name=name)
         return self._conv(features, name)
 
+    def _fuse_ok(self, cin: int, cout: int, x: jnp.ndarray) -> bool:
+        # fused path: GN(1) halves on narrow maps with an even width
+        # (the kernel packs width pairs into the channel axis)
+        return (
+            self.fused_narrow
+            and not self.quantized
+            and not self.im2col_narrow
+            and self.num_groups == 1
+            and max(cin, cout) <= 64
+            and x.shape[2] % 2 == 0
+        )
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.fused_conv_gn import fused_conv_gn_gelu
+
         mid = self.mid_channels or self.out_channels
-        h = self._conv_for(x.shape[-1], mid, "conv1")(x)
-        h = self._norm(mid, "gn1")(h)
-        h = nn.gelu(h)
+        if self._fuse_ok(x.shape[-1], mid, x):
+            kernel = _ConvKernel(mid, name="conv1")(x.shape[-1])
+            gamma, beta = _GNParams(mid, name="gn1")()
+            h = fused_conv_gn_gelu(
+                x.astype(self.dtype), kernel.astype(self.dtype), gamma, beta,
+            )
+        else:
+            h = self._conv_for(x.shape[-1], mid, "conv1")(x)
+            h = self._norm(mid, "gn1")(h)
+            h = nn.gelu(h)
+        if self._fuse_ok(mid, self.out_channels, h):
+            kernel = _ConvKernel(self.out_channels, name="conv2")(mid)
+            gamma, beta = _GNParams(self.out_channels, name="gn2")()
+            # residual mode = gelu(x + gn2(conv2(h))); plain mode has no
+            # trailing activation
+            return fused_conv_gn_gelu(
+                h.astype(self.dtype), kernel.astype(self.dtype), gamma, beta,
+                residual=x if self.residual else None,
+                gelu=self.residual,
+            ).astype(x.dtype)
         h = self._conv_for(mid, self.out_channels, "conv2")(h)
         h = self._norm(self.out_channels, "gn2")(h)
         if self.residual:
@@ -111,6 +180,7 @@ class Down(nn.Module):
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
     im2col_narrow: bool = False
+    fused_narrow: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t_emb: jnp.ndarray) -> jnp.ndarray:
@@ -118,10 +188,12 @@ class Down(nn.Module):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = DoubleConv(in_ch, residual=True, dtype=self.dtype,
                        quantized=self.quantized,
-                       im2col_narrow=self.im2col_narrow, name="res")(x)
+                       im2col_narrow=self.im2col_narrow,
+                       fused_narrow=self.fused_narrow, name="res")(x)
         x = DoubleConv(self.out_channels, dtype=self.dtype,
                        quantized=self.quantized,
-                       im2col_narrow=self.im2col_narrow, name="proj")(x)
+                       im2col_narrow=self.im2col_narrow,
+                       fused_narrow=self.fused_narrow, name="proj")(x)
         emb = nn.silu(t_emb)
         emb = nn.Dense(self.out_channels, dtype=self.dtype, name="emb")(emb)
         return x + emb[:, None, None, :]
@@ -135,6 +207,7 @@ class Up(nn.Module):
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
     im2col_narrow: bool = False
+    fused_narrow: bool = False
 
     @nn.compact
     def __call__(
@@ -145,11 +218,12 @@ class Up(nn.Module):
         in_ch = x.shape[-1]
         x = DoubleConv(in_ch, residual=True, dtype=self.dtype,
                        quantized=self.quantized,
-                       im2col_narrow=self.im2col_narrow, name="res")(x)
+                       im2col_narrow=self.im2col_narrow,
+                       fused_narrow=self.fused_narrow, name="res")(x)
         x = DoubleConv(
             self.out_channels, mid_channels=in_ch // 2, dtype=self.dtype,
             quantized=self.quantized, im2col_narrow=self.im2col_narrow,
-            name="proj"
+            fused_narrow=self.fused_narrow, name="proj"
         )(x)
         emb = nn.silu(t_emb)
         emb = nn.Dense(self.out_channels, dtype=self.dtype, name="emb")(emb)
@@ -207,6 +281,11 @@ class ConditionalUNet(nn.Module):
     # contraction where XLA's direct conv half-fills the lanes. Exact and
     # differentiable; parameter tree unchanged.
     im2col_narrow: bool = False
+    # Route the narrow (<=64ch) DoubleConv halves through the fused
+    # width-packed conv+GN(1)+GELU Pallas kernel (ops/fused_conv_gn.py).
+    # Exact, differentiable, parameter tree unchanged; measured in
+    # scripts/probe_fused_conv_r4.py before any default flip.
+    fused_narrow: bool = False
 
     @nn.compact
     def __call__(
@@ -268,11 +347,13 @@ class ConditionalUNet(nn.Module):
 
         h = DoubleConv(widths[0], dtype=self.dtype,
                        quantized=self.conv_quant,
-                       im2col_narrow=self.im2col_narrow, name="inc")(h)
+                       im2col_narrow=self.im2col_narrow,
+                       fused_narrow=self.fused_narrow, name="inc")(h)
         skips = [h]
         for i, ch in enumerate(widths[1:] + [widths[-1]], start=1):
             h = Down(ch, dtype=self.dtype, quantized=self.conv_quant,
                      im2col_narrow=self.im2col_narrow,
+                     fused_narrow=self.fused_narrow,
                      name=f"down{i}")(h, t_emb)
             if i in self.attention_levels:
                 h = ImageSelfAttention(
@@ -301,6 +382,7 @@ class ConditionalUNet(nn.Module):
             skip = skips[-(i + 2)]
             h = Up(up_widths[i], dtype=self.dtype, quantized=self.conv_quant,
                    im2col_narrow=self.im2col_narrow,
+                   fused_narrow=self.fused_narrow,
                    name=f"up{i + 1}")(h, skip, t_emb)
             level = n_levels - 1 - i  # resolution level after this Up
             if level in self.attention_levels_up:

@@ -1,0 +1,134 @@
+"""Round-4 probe: the fused conv+GN(1)+GELU Pallas kernel (VERDICT item 3).
+
+Measures ops/fused_conv_gn.py against the XLA composition it replaces at
+the flagship's narrow conv sites (the 64ch maps running ~33 TF/s under
+XLA, scripts/probe_conv_r3.py), then — if the isolated kernel wins — the
+in-context flagship forward with the narrow DoubleConv halves routed
+through the fused path.
+
+Timing per CLAUDE.md: chained dependent ops inside one jit call, single
+fetch, min-of-3 with varied inputs after a warm-up (the remote runtime
+stalls ~55-70 ms on the first timed execution of a fresh pair).
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from diffusionmodelscustom_tpu.ops.fused_conv_gn import fused_conv_gn_gelu
+
+R = 8  # chained repeats inside one jit call
+
+
+def chain_time(name, make_fn, x0, flops_per_op=None, n=6):
+    """min-of-3 groups of n chained calls, varied inputs, one fetch each."""
+
+    def chained(x):
+        for _ in range(R):
+            x = x0 + 1e-6 * make_fn(x).astype(x0.dtype)
+        return x
+
+    fn = jax.jit(chained)
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(fn(x0).ravel()[:8]))
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for rep in range(3):
+        x = x0 + 0.001 * rep
+        np.asarray(jax.device_get(fn(x).ravel()[:8]))  # warm this buffer
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = fn(x)
+        np.asarray(jax.device_get(x.ravel()[:8]))
+        best = min(best, (time.perf_counter() - t0) / n)
+    per_op = best / R
+    tf = f" {flops_per_op / per_op / 1e12:7.2f} TF/s" if flops_per_op else ""
+    print(f"{name:44s} {per_op * 1e3:8.3f} ms/op{tf}"
+          f"  (compile {compile_s:.1f}s)", flush=True)
+    return per_op
+
+
+def probe_isolated():
+    rng = jax.random.key(0)
+    sites = [
+        ("64->64 @128^2", (32, 128, 128, 64), 64, False),
+        ("64->64 @128^2 +res", (32, 128, 128, 64), 64, True),
+        ("64->64 @64^2", (32, 64, 64, 64), 64, False),
+        ("128->128 @64^2", (32, 64, 64, 128), 128, False),
+    ]
+    for name, shape, cout, residual in sites:
+        b, h, w, c = shape
+        x = jax.random.normal(rng, shape, jnp.bfloat16)
+        kw = 0.05 * jax.random.normal(rng, (3, 3, c, cout), jnp.float32)
+        gamma = jnp.ones((cout,))
+        beta = jnp.zeros((cout,))
+        # dense-conv FLOPs (the packed kernel does 2x internally; report
+        # the useful-FLOP rate so numbers compare with probe_conv_r3)
+        flops = 2 * b * h * w * 9 * c * cout
+
+        def xla_fn(y, kw=kw, cout=cout, residual=residual):
+            out = jax.lax.conv_general_dilated(
+                y, kw.astype(y.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(jnp.float32)
+            mean = jnp.mean(out, axis=(1, 2, 3), keepdims=True)
+            var = jnp.mean(jnp.square(out - mean), axis=(1, 2, 3),
+                           keepdims=True)
+            o = (out - mean) * jax.lax.rsqrt(var + 1e-6)
+            if residual:
+                o = o + y.astype(jnp.float32)
+            return jax.nn.gelu(o).astype(y.dtype)
+
+        def fused_fn(y, kw=kw, gamma=gamma, beta=beta, residual=residual):
+            return fused_conv_gn_gelu(
+                y, kw, gamma, beta,
+                residual=y if residual else None,
+            )
+
+        chain_time(f"xla   conv+gn+gelu {name}", xla_fn, x, flops)
+        chain_time(f"pallas fused       {name}", fused_fn, x, flops)
+
+
+def probe_in_context():
+    """Flagship forward with narrow DoubleConv halves fused (fresh init —
+    parameter-tree compatibility comes later if this wins)."""
+    from __graft_entry__ import _example_batch, _flagship
+
+    batch, size = 32, 128
+    for fused in (False, True):
+        model = _flagship()
+        if fused:
+            model = model.clone(fused_narrow=True)
+        cond = _example_batch(jax.random.key(2), batch, size)
+        params = model.init(
+            jax.random.key(0), cond["img"], jnp.zeros((batch,), jnp.int32),
+            cond["classifier"], cond["img_cond"], cond["lsm"], cond["topo"],
+        )["params"]
+
+        def fwd(x, model=model, params=params):
+            return model.apply(
+                {"params": params}, x, jnp.full((batch,), 500, jnp.int32),
+                cond["classifier"], cond["img_cond"], cond["lsm"],
+                cond["topo"],
+            )
+
+        x0 = jax.random.normal(jax.random.key(3), (batch, size, size, 1),
+                               jnp.float32)
+        chain_time(f"flagship fwd fused_narrow={fused}", fwd, x0)
+
+
+if __name__ == "__main__":
+    print(f"backend={jax.default_backend()}", flush=True)
+    probe_isolated()
+    if "--context" in sys.argv:
+        probe_in_context()
