@@ -43,6 +43,7 @@ from make_parity import (  # noqa: E402
     TRAIN_STEPS,
     VARIANTS,
     log,
+    params_cache_path,
     scale,
     unscale,
 )
@@ -109,7 +110,13 @@ def main():
     # cache the trained EMA params so sampler-only reruns skip training
     from flax import serialization
 
+    # the teacher IS make_parity's ERA5 run (identical seeds, budget and
+    # TrainerConfig) — share its params cache so whichever script runs
+    # first trains once for both
     cache = pathlib.Path("/tmp/fewstep_params.bin")
+    parity_cache = params_cache_path(VARIANT, TRAIN_STEPS)
+    if not cache.exists() and parity_cache.exists():
+        cache = parity_cache
     if cache.exists():
         log(f"loading cached params from {cache} ...")
         params = serialization.from_bytes(
@@ -135,7 +142,9 @@ def main():
         params = (
             state.ema_params if state.ema_params is not None else state.params
         )
-        cache.write_bytes(serialization.to_bytes(params))
+        blob = serialization.to_bytes(params)
+        cache.write_bytes(blob)
+        parity_cache.write_bytes(blob)
 
     if "--teacher_only" in sys.argv:
         # train + cache the teacher for scripts/distill_quality.py without
@@ -213,6 +222,7 @@ def main():
     metrics = [
         ("rmse", "RMSE"), ("mae", "MAE"), ("crps", "CRPS"),
         ("wasserstein1", "W1"), ("ks", "KS"), ("fid_rf", "FID (rf)"),
+        ("psd_dist", "PSD dist"),
         ("morans_i_gen", "Moran's I"),
         ("frac_outside_truth_range", "out-of-range"),
     ]
@@ -279,7 +289,11 @@ def main():
         "`FEWSTEP.json`.",
     ]
     (REPO / "docs" / "FEWSTEP.md").write_text("\n".join(lines) + "\n")
-    (REPO / "FEWSTEP.json").write_text(json.dumps(results, indent=1))
+    # merge: keep distilled_* / distill_probe keys from prior runs
+    fj = REPO / "FEWSTEP.json"
+    merged = json.loads(fj.read_text()) if fj.exists() else {}
+    merged.update(results)
+    fj.write_text(json.dumps(merged, indent=1))
     log("wrote docs/FEWSTEP.md / FEWSTEP.json")
 
 

@@ -94,15 +94,39 @@ VARIANT_AUG: dict = {}
 VARIANT_COND_JITTER: dict = {}
 # sample-time stochastic churn (EDM S_churn-style, ancestral_sample's
 # churn=) — the measured winner for the Moran's-I oversmoothing cells
-# (scripts/probe_churn.py, PARITY.json["churn_probe"]): uniform variant
-# held-out Moran 0.753 -> 0.866 (ref 0.812) at +0.15 degC RMSE,
-# saturating by 0.05; unconditional variant cal/held-out Moran
-# 0.875/0.855 -> 0.952/0.952 (ref 0.908/0.892, ideal 0.971/0.970) at an
+# (scripts/probe_churn.py, round-3 probe): uniform variant held-out
+# Moran 0.753 -> 0.866 (ref 0.812) at +0.15 degC RMSE; unconditional
+# cal/held-out Moran 0.875/0.855 -> 0.952/0.952 (ref 0.908/0.892) at an
 # fid_rf cost (6.7/32 -> 102/62) that still beats the reference's
-# 1721/1624 by >15x. With these recipes every parity cell is won or
-# tied (PARITY.md §3). Exact-parity chains stay churn = 0.
+# 1721/1624 by >15x. VARIANT_CHURN is the DEFAULT recipe per variant;
+# the script additionally samples every value in VARIANT_CHURN_SWEEP
+# and publishes, per variant, the SMALLEST churn whose Moran cells win
+# both splits (smallest = least texture/fid_rf perturbation — round-3
+# VERDICT item 2 asked for exactly this minimization). Exact (churn=0)
+# chains are ALWAYS sampled and stored under the 'ours' key, so the
+# published exact scorecards stay reproducible (round-3 ADVICE item 1).
 VARIANT_CHURN: dict = {_UNIFORM: 0.05, _UNCOND: 0.05}
+VARIANT_CHURN_SWEEP: dict = {
+    _UNIFORM: (0.02, 0.03),
+    _UNCOND: (0.02, 0.03),
+}
+# generated fields + trained EMA params are cached so metric additions
+# don't force a 120k-step retrain (fields are small: 100x64x64 f16)
+ARTIFACT_DIR = REPO / "artifacts" / "parity"
+PARAMS_DIR = pathlib.Path("/tmp")
 DATA_MIN, DATA_MAX = -15.0, 30.0  # Celsius scale range for [-1, 1]
+
+
+def params_cache_path(variant: str, steps: int) -> pathlib.Path:
+    """EMA-params cache for one trained variant (shared with
+    scripts/fewstep_quality.py, whose ERA5 teacher is the IDENTICAL
+    training run — same seeds, budget and TrainerConfig)."""
+    return PARAMS_DIR / f"parity_params_{variant.split('__')[0]}_{steps}.bin"
+
+
+def gen_cache_path(variant: str, steps: int, churn: float) -> pathlib.Path:
+    tag = f"churn{churn:g}" if churn else "exact"
+    return ARTIFACT_DIR / f"gen_{variant.split('__')[0]}_{steps}_{tag}.npz"
 
 
 def log(*a):
@@ -130,6 +154,8 @@ def main():
                          "protocol is the reference's T=800)")
     ap.add_argument("--no_write", action="store_true",
                     help="skip writing PARITY.md/json (smoke)")
+    ap.add_argument("--no_churn", action="store_true",
+                    help="skip the churn sweeps (exact chains only)")
     ap.add_argument("--platform", default=None,
                     help="e.g. 'cpu' for smoke runs off the TPU")
     args = ap.parse_args()
@@ -169,7 +195,13 @@ def main():
             f"w1={card['wasserstein1']:.2f} fid={card['fid_rf']:.2f}")
 
     # ---- 2. our side -----------------------------------------------------
+    from flax import serialization
+
     from probe_uniform_moran import augment
+
+    cache_ok = not (args.steps or args.timesteps)  # never cache smoke runs
+    if cache_ok:
+        ARTIFACT_DIR.mkdir(parents=True, exist_ok=True)
 
     def run_variant(variant: str, train_steps: int = TRAIN_STEPS):
         b = bundles[variant]
@@ -222,69 +254,131 @@ def main():
         perm = np.random.default_rng(42).permutation(n)
         train_idx = np.sort(perm[:N_TRAIN])
         hold_idx = np.sort(perm[N_TRAIN:])
-        log(f"training {variant.split('__')[0]} on {len(train_idx)} fields "
-            f"({len(hold_idx)} held out)...")
-        t0 = time.time()
-        order_rng = np.random.default_rng(0)
-        aug_rng = np.random.default_rng(1)
-        aug_mode = VARIANT_AUG.get(variant, "none")
-        cond_jitter = VARIANT_COND_JITTER.get(variant, 0.0)
-        for step in range(train_steps):
-            idx = train_idx[order_rng.choice(len(train_idx), BATCH, replace=False)]
-            batch = {k: v[idx] for k, v in batch_all.items()}
-            batch = augment(batch, aug_rng, aug_mode)
-            if cond_jitter and "img_cond" in batch:
-                batch["img_cond"] = batch["img_cond"] + aug_rng.normal(
-                    0.0, cond_jitter, (len(idx), 1, 1, 1)
-                ).astype(np.float32)
-            state, m = trainer.train_step(state, batch, jax.random.fold_in(rng, step))
-            if step % 1000 == 0:
-                log(f"  step {step}: loss={float(jax.device_get(m['loss'])):.4f}"
-                    f" ({time.time() - t0:.0f}s)")
-        log(f"trained {train_steps} steps in {time.time() - t0:.0f}s")
 
-        params = state.ema_params if state.ema_params is not None else state.params
-        gens = []
-        t0 = time.time()
-        chunk = 25
-        for start in range(0, n, chunk):
-            sl = slice(start, start + chunk)
-            cb = {k: jnp.asarray(v[sl]) for k, v in batch_all.items()}
+        pcache = params_cache_path(variant, train_steps)
+        if cache_ok and pcache.exists():
+            log(f"loading cached params {pcache}")
+            params = serialization.from_bytes(state.params, pcache.read_bytes())
+        else:
+            log(f"training {variant.split('__')[0]} on {len(train_idx)} fields "
+                f"({len(hold_idx)} held out)...")
+            t0 = time.time()
+            order_rng = np.random.default_rng(0)
+            aug_rng = np.random.default_rng(1)
+            aug_mode = VARIANT_AUG.get(variant, "none")
+            cond_jitter = VARIANT_COND_JITTER.get(variant, 0.0)
+            for step in range(train_steps):
+                idx = train_idx[order_rng.choice(len(train_idx), BATCH, replace=False)]
+                batch = {k: v[idx] for k, v in batch_all.items()}
+                batch = augment(batch, aug_rng, aug_mode)
+                if cond_jitter and "img_cond" in batch:
+                    batch["img_cond"] = batch["img_cond"] + aug_rng.normal(
+                        0.0, cond_jitter, (len(idx), 1, 1, 1)
+                    ).astype(np.float32)
+                state, m = trainer.train_step(state, batch, jax.random.fold_in(rng, step))
+                if step % 1000 == 0:
+                    log(f"  step {step}: loss={float(jax.device_get(m['loss'])):.4f}"
+                        f" ({time.time() - t0:.0f}s)")
+            log(f"trained {train_steps} steps in {time.time() - t0:.0f}s")
+            params = state.ema_params if state.ema_params is not None else state.params
+            if cache_ok:
+                pcache.write_bytes(serialization.to_bytes(params))
 
-            def denoise(x, t):
-                return model.apply(
-                    {"params": params}, x, t,
-                    cb.get("classifier"), cb.get("img_cond"),
-                    cb.get("lsm"), cb.get("topo"),
+        def sample_all(churn: float) -> np.ndarray:
+            """All 100 matched-conditioning fields (Celsius), disk-cached."""
+            gcache = gen_cache_path(variant, train_steps, churn)
+            if cache_ok and gcache.exists():
+                return np.load(gcache)["gen"].astype(np.float64)
+            gens = []
+            t0 = time.time()
+            chunk = 25
+            for start in range(0, n, chunk):
+                sl = slice(start, start + chunk)
+                cb = {k: jnp.asarray(v[sl]) for k, v in batch_all.items()}
+
+                def denoise(x, t):
+                    return model.apply(
+                        {"params": params}, x, t,
+                        cb.get("classifier"), cb.get("img_cond"),
+                        cb.get("lsm"), cb.get("topo"),
+                    )
+
+                out = ancestral_sample(
+                    denoise, diffusion,
+                    jax.random.fold_in(jax.random.key(7), start),
+                    (cb["img"].shape[0], 64, 64, 1),
+                    clip_denoised=True,
+                    churn=churn,
                 )
+                gens.append(np.asarray(jax.device_get(out))[..., 0])
+            log(f"sampled {n} (churn={churn:g}) in {time.time() - t0:.0f}s")
+            gen = unscale(np.concatenate(gens))
+            if cache_ok:
+                np.savez_compressed(gcache, gen=gen.astype(np.float16))
+            return gen
 
-            out = ancestral_sample(
-                denoise, diffusion, jax.random.fold_in(jax.random.key(7), start),
-                (cb["img"].shape[0], 64, 64, 1),
-                clip_denoised=True,
-                churn=VARIANT_CHURN.get(variant, 0.0),
-            )
-            gens.append(np.asarray(jax.device_get(out))[..., 0])
-        log(f"sampled {n} in {time.time() - t0:.0f}s")
-        gen = unscale(np.concatenate(gens))
+        def score(gen: np.ndarray, tag: str) -> dict:
+            out = {}
+            for split, idx in (("calibration", train_idx), ("heldout", hold_idx)):
+                mask = lsm[idx] if has_lsm else None
+                card = parity_scorecard(gen[idx], truth[idx], mask)
+                card["fid_rf"] = fid(gen[idx], truth[idx])
+                out[split] = card
+                log(f"[{tag}/{variant.split('__')[0]}/{split}] "
+                    f"rmse={card['rmse']:.2f} w1={card['wasserstein1']:.2f} "
+                    f"fid={card['fid_rf']:.2f} moran={card['morans_i_gen']:.3f} "
+                    f"psd={card['psd_dist']:.3f} "
+                    f"oor={card['frac_outside_truth_range']:.3f}")
+            return out
 
-        cards = {}
+        # exact (churn=0) chains are ALWAYS sampled and published as
+        # 'ours' — reproducible by construction (round-3 ADVICE item 1)
+        ours = score(sample_all(0.0), "exact")
+        ref = {}
         for split, idx in (("calibration", train_idx), ("heldout", hold_idx)):
             mask = lsm[idx] if has_lsm else None
-            card = parity_scorecard(gen[idx], truth[idx], mask)
-            card["fid_rf"] = fid(gen[idx], truth[idx])
-            # the reference's own gen on the IDENTICAL indices
             ref_card = parity_scorecard(b["gen"][idx], truth[idx], mask)
             ref_card["fid_rf"] = fid(b["gen"][idx], truth[idx])
-            cards[split] = {"ours": card, "ref": ref_card}
-            log(f"[ours/{variant.split('__')[0]}/{split}] "
-                f"rmse={card['rmse']:.2f} w1={card['wasserstein1']:.2f} "
-                f"fid={card['fid_rf']:.2f} moran={card['morans_i_gen']:.3f} "
-                f"oor={card['frac_outside_truth_range']:.3f}")
+            ref[split] = ref_card
+
+        cards = {
+            split: {"ours": ours[split], "ref": ref[split]}
+            for split in ("calibration", "heldout")
+        }
         # provenance: the budget THIS card was produced with, so the
         # PARITY.md header describes the stored scorecards even after a
         # later budget edit + --only rerun of a different variant
         cards["train_steps"] = train_steps
+
+        # churn sweep (variants whose exact chains lose the Moran cells):
+        # publish the SMALLEST churn whose Moran cell wins BOTH splits —
+        # minimal texture/fid_rf perturbation (round-3 VERDICT item 2)
+        sweep_vals = sorted(
+            set(VARIANT_CHURN_SWEEP.get(variant, ()))
+            | ({VARIANT_CHURN[variant]} if variant in VARIANT_CHURN else set())
+        )
+        if sweep_vals and not args.no_churn:
+            def moran_wins(oc, rc):
+                ideal = rc["morans_i_ref"]
+                return (abs(oc["morans_i_gen"] - ideal)
+                        <= abs(rc["morans_i_gen"] - ideal) + 1e-9)
+
+            sweep = {}
+            chosen = None
+            for c in sweep_vals:
+                sc = score(sample_all(c), f"churn{c:g}")
+                sweep[f"{c:g}"] = sc
+                if chosen is None and all(
+                    moran_wins(sc[s], ref[s]) for s in ("calibration", "heldout")
+                ):
+                    chosen = c
+            if chosen is None:  # none won both: publish the largest probed
+                chosen = sweep_vals[-1]
+            cards["churn"] = chosen
+            cards["churn_sweep"] = sweep
+            for split in ("calibration", "heldout"):
+                cards[split]["ours_churn"] = sweep[f"{chosen:g}"][split]
+            log(f"[{variant.split('__')[0]}] chosen churn = {chosen:g}")
         return cards
 
     ours_cards = {
@@ -316,6 +410,7 @@ def main():
         ("wasserstein1", "Wasserstein-1"),
         ("ks", "KS distance"),
         ("fid_rf", "FID (rf)"),
+        ("psd_dist", "PSD distance (log10)"),
         ("morans_i_gen", "Moran's I (gen)"),
         ("frac_outside_truth_range", "frac outside truth range"),
     ]
@@ -376,73 +471,129 @@ def main():
         "",
     ]
     totals = {"calibration": [0, 0], "heldout": [0, 0]}
+    exact_totals = {"calibration": [0, 0], "heldout": [0, 0]}
     for v in written:  # merged scorecards, canonical VARIANTS order
         short = v.split("__")[0] + "/" + (
             "sdfw" if "sdfweighted" in v else "simple")
         if "ValLoss" in v:
             short += "/valloss"
+        churn = ours_cards[v].get("churn")
         lines += [f"### {short}", ""]
         for split in ("calibration", "heldout"):
             oc = ours_cards[v][split]["ours"]
             rc = ours_cards[v][split]["ref"]
+            cc = ours_cards[v][split].get("ours_churn")
+            head = "| metric | reference gen | OURS (exact) |"
+            sep = "|---|---|---|"
+            if cc:
+                head += f" OURS (churn {churn:g}) |"
+                sep += "---|"
             lines += [
                 f"#### {split} ({N_TRAIN if split == 'calibration' else 100 - N_TRAIN} fields)",
                 "",
-                "| metric | reference gen | OURS | truth-vs-itself ideal |",
-                "|---|---|---|---|",
+                head + " truth-vs-itself ideal |",
+                sep + "---|",
             ]
             better = 0
+            exact_better = 0
+            n_scored = 0
             for key, label in cols:
+                if key not in oc or key not in rc:
+                    continue  # merged pre-psd cards lack new columns
+                n_scored += 1
                 ideal = 0.0 if key != "morans_i_gen" else rc.get("morans_i_ref", 0)
-                lines.append(
-                    f"| {label} | {rc[key]:.3f} | {oc[key]:.3f} | {ideal:.3f} |"
-                )
-                if abs(oc[key] - ideal) <= abs(rc[key] - ideal) + 1e-9:
+                row = f"| {label} | {rc[key]:.3f} | {oc[key]:.3f} |"
+                if cc:
+                    row += f" {cc[key]:.3f} |"
+                lines.append(row + f" {ideal:.3f} |")
+                # the published (serving-recipe) cell: churned where a
+                # churn recipe is set, exact otherwise
+                pub = cc[key] if cc else oc[key]
+                if abs(pub - ideal) <= abs(rc[key] - ideal) + 1e-9:
                     better += 1
+                if abs(oc[key] - ideal) <= abs(rc[key] - ideal) + 1e-9:
+                    exact_better += 1
+                totals[split][1] += 1
+                exact_totals[split][1] += 1
             totals[split][0] += better
-            totals[split][1] += len(cols)
+            exact_totals[split][0] += exact_better
             lines += [
                 "",
-                f"Matches or beats the reference on {better}/{len(cols)}.",
+                f"Matches or beats the reference on {better}/{n_scored}"
+                + (f" (exact chain: {exact_better})" if cc else "")
+                + ".",
                 "",
             ]
+    recipe_note = (
+        " The published cells use each variant's serving recipe: the"
+        " smallest swept churn whose Moran's-I cell wins both splits"
+        " (uniform/unconditional), exact chains elsewhere — exact-chain"
+        f" totals: calibration {exact_totals['calibration'][0]}/"
+        f"{exact_totals['calibration'][1]}, held-out "
+        f"{exact_totals['heldout'][0]}/{exact_totals['heldout'][1]}."
+    )
     lines += [
         f"**Overall: calibration {totals['calibration'][0]}/"
         f"{totals['calibration'][1]}, held-out {totals['heldout'][0]}/"
-        f"{totals['heldout'][1]} metric comparisons won or tied.**",
+        f"{totals['heldout'][1]} metric comparisons won or tied.**"
+        + recipe_note,
         "Generated by `scripts/make_parity.py`; raw scorecards in",
         "`PARITY.json`.",
         "",
-        "## 3. The Moran's-I cells (measured tradeoff)",
+        "## 3. The Moran's-I cells (measured tradeoff, closed by churn)",
         "",
-        "Every losing cell above is the same metric: Moran's I spatial",
-        "autocorrelation, where the reference's generated fields sit",
-        "closer to the truth's value — but only because they are",
-        "oversmoothed (the same reference gen loses RMSE/MAE/FID and",
-        "every distributional metric on the identical fields, e.g.",
-        "uniform held-out RMSE ~10.8 vs ~2.3 degC). Training longer",
-        "sharpens fields and moves Moran AWAY from the truth while",
-        "improving everything else (TEST variant 12k->24k: held-out FID",
-        "56->32, RMSE 4.6->3.3, calibration Moran 0.841->0.817). Probes",
-        "on the weakest-signal uniform variant",
-        "(`scripts/probe_uniform_moran.py`, v5e) show the cell trades off",
-        "directly against conditioning fidelity rather than being an",
-        "unexplored gap:",
+        "The exact chains' only losing cells are Moran's I spatial",
+        "autocorrelation on the two weakest-conditioning variants",
+        "(uniform, unconditional): the reference's oversmoothed fields",
+        "sit closer to the truth's autocorrelation while losing",
+        "RMSE/MAE/FID and every distributional metric on the identical",
+        "fields. Sample-time stochastic churn (EDM S_churn-style, the",
+        "`churn=` knob on `ancestral_sample` / `generate --churn`)",
+        "re-injects high-frequency variance along the chain and moves",
+        "Moran back toward the truth at a texture (fid_rf / PSD) cost.",
+        "The sweep below (same splits and params as §2) picks the",
+        "smallest churn that wins the Moran cell on BOTH splits:",
         "",
-        "| protocol change | held-out Moran | held-out RMSE (degC) |",
-        "|---|---|---|",
-        "| baseline (24k steps, no aug, EMA 0.995) | 0.745 | 2.27 |",
-        "| + dihedral (D4) augmentation | 0.644 | 9.43 |",
-        "| D4 + cond jitter 0.05 (Imagen lowres-aug trick) | 0.783 | 11.46 |",
-        "| D4, 48k steps, EMA 0.999 | 0.699 | 2.01 |",
-        "| reference gen (the bar) | 0.811 | 10.80 |",
-        "",
-        "Condition jitter closes most of the Moran gap by teaching the",
-        "model to ignore the mean-value condition (RMSE collapses to the",
-        "unconditional level); D4 augmentation dilutes the single fixed",
-        "geography across 8 fake ones and loses both columns; training",
-        "longer sharpens texture and moves Moran the other way. The",
-        "protocol keeps the baseline recipe.",
+    ]
+    for v in written:
+        sweep = ours_cards[v].get("churn_sweep")
+        if not sweep:
+            continue
+        short = v.split("__")[0]
+        rc_h = ours_cards[v]["heldout"]["ref"]
+        oc_h = ours_cards[v]["heldout"]["ours"]
+        lines += [
+            f"### {short} (chosen churn = {ours_cards[v]['churn']:g})",
+            "",
+            "| chain | held-out Moran (ideal "
+            f"{rc_h.get('morans_i_ref', 0):.3f}) | held-out RMSE | "
+            "held-out fid_rf | held-out PSD dist |",
+            "|---|---|---|---|---|",
+            f"| exact (churn 0) | {oc_h['morans_i_gen']:.3f} | "
+            f"{oc_h['rmse']:.2f} | {oc_h['fid_rf']:.1f} | "
+            f"{oc_h.get('psd_dist', float('nan')):.3f} |",
+        ]
+        for c, sc in sweep.items():
+            h = sc["heldout"]
+            lines.append(
+                f"| churn {c} | {h['morans_i_gen']:.3f} | {h['rmse']:.2f} | "
+                f"{h['fid_rf']:.1f} | {h.get('psd_dist', float('nan')):.3f} |"
+            )
+        lines += [
+            "",
+            f"| reference gen | {rc_h['morans_i_gen']:.3f} | "
+            f"{rc_h['rmse']:.2f} | {rc_h['fid_rf']:.1f} | "
+            f"{rc_h.get('psd_dist', float('nan')):.3f} |",
+            "",
+        ]
+    lines += [
+        "Negative levers (measured in earlier rounds, do not redo):",
+        "dihedral augmentation dilutes the single fixed geography across",
+        "8 fake ones (uniform held-out Moran 0.745 -> 0.644, RMSE 2.27 ->",
+        "9.43); condition jitter closes the Moran gap only by teaching",
+        "the model to ignore the mean-value condition (RMSE -> the",
+        "unconditional level); training longer sharpens texture and",
+        "moves Moran the other way.",
         "",
     ]
     (REPO / "PARITY.md").write_text("\n".join(lines))
