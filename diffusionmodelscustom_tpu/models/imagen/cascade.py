@@ -226,6 +226,7 @@ class Imagen:
         *,
         text_embeds: Optional[jnp.ndarray] = None,
         text_mask: Optional[jnp.ndarray] = None,
+        cond_images: Optional[jnp.ndarray] = None,
         train: bool = True,
     ) -> jnp.ndarray:
         """Stage loss (imagen_pytorch.py:4284-4441 + forward:4443-4594)."""
@@ -295,6 +296,11 @@ class Imagen:
             text_mask=text_mask,
             cond_drop_mask=cond_drop_mask,
         )
+        if cond_images is not None:
+            # the unet resizes cond_images to its input resolution itself
+            # (imagen_pytorch.py:2963-2967), so full-size conditioning is
+            # correct even for random-crop SR training
+            kwargs["cond_images"] = cond_images
         if lowres_cond_img is not None:
             kwargs.update(
                 lowres_cond_img=lowres_cond_img,
@@ -366,6 +372,7 @@ class Imagen:
         *,
         text_embeds=None,
         text_mask=None,
+        cond_images=None,
         cond_scale: float = 1.0,
         lowres_cond_img=None,
         lowres_noise_cond=None,
@@ -387,6 +394,8 @@ class Imagen:
             shape = (batch, size, size, self.channels)
 
         kwargs = dict(text_embeds=text_embeds, text_mask=text_mask)
+        if cond_images is not None:
+            kwargs["cond_images"] = cond_images
         if lowres_cond_img is not None:
             kwargs.update(
                 lowres_cond_img=lowres_cond_img,
@@ -442,6 +451,7 @@ class Imagen:
         batch_size: int = 1,
         text_embeds: Optional[jnp.ndarray] = None,
         text_mask: Optional[jnp.ndarray] = None,
+        cond_images: Optional[jnp.ndarray] = None,
         cond_scale: float = 1.0,
         stop_at_unet_number: Optional[int] = None,
         start_image_or_video: Optional[jnp.ndarray] = None,
@@ -499,6 +509,7 @@ class Imagen:
                 batch_size,
                 text_embeds=text_embeds,
                 text_mask=text_mask,
+                cond_images=cond_images,
                 cond_scale=cond_scale,
                 lowres_cond_img=lowres_cond_img,
                 lowres_noise_cond=lowres_noise_cond,
@@ -536,6 +547,7 @@ class ElucidatedImagen(Imagen):
         *,
         text_embeds=None,
         text_mask=None,
+        cond_images=None,
         train: bool = True,
     ) -> jnp.ndarray:
         """EDM training loss (elucidated_imagen.py:700-790)."""
@@ -598,6 +610,8 @@ class ElucidatedImagen(Imagen):
             text_mask=text_mask,
             cond_drop_mask=cond_drop_mask,
         )
+        if cond_images is not None:
+            kwargs["cond_images"] = cond_images
         if lowres_cond_img is not None:
             kwargs.update(
                 lowres_cond_img=lowres_cond_img,
@@ -622,6 +636,7 @@ class ElucidatedImagen(Imagen):
         *,
         text_embeds=None,
         text_mask=None,
+        cond_images=None,
         cond_scale: float = 1.0,
         lowres_cond_img=None,
         lowres_noise_cond=None,
@@ -641,6 +656,8 @@ class ElucidatedImagen(Imagen):
         use_thresh = self.dynamic_thresholding[unet_index]
 
         kwargs = dict(text_embeds=text_embeds, text_mask=text_mask)
+        if cond_images is not None:
+            kwargs["cond_images"] = cond_images
         if lowres_cond_img is not None:
             kwargs.update(
                 lowres_cond_img=lowres_cond_img,

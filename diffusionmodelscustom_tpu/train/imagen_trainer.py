@@ -179,7 +179,9 @@ class ImagenTrainer:
     def _build_train_step(self, idx: int):
         imagen = self.imagen
 
-        def step_fn(state: TrainState, images, text_embeds, text_mask, rng):
+        def step_fn(
+            state: TrainState, images, text_embeds, text_mask, cond_images, rng
+        ):
             def loss_fn(params):
                 return imagen.p_losses(
                     idx,
@@ -188,6 +190,7 @@ class ImagenTrainer:
                     rng,
                     text_embeds=text_embeds,
                     text_mask=text_mask,
+                    cond_images=cond_images,
                     train=True,
                 )
 
@@ -234,11 +237,12 @@ class ImagenTrainer:
                 batch["images"],
                 batch.get("text_embeds"),
                 batch.get("text_mask"),
+                batch.get("cond_images"),
             )
         if isinstance(batch, (tuple, list)):
-            padded = list(batch) + [None, None]
-            return padded[0], padded[1], padded[2]
-        return batch, None, None
+            padded = list(batch) + [None, None, None]
+            return padded[0], padded[1], padded[2], padded[3]
+        return batch, None, None, None
 
     def train_step(
         self,
@@ -247,6 +251,7 @@ class ImagenTrainer:
         *,
         text_embeds: Optional[jnp.ndarray] = None,
         text_mask: Optional[jnp.ndarray] = None,
+        cond_images: Optional[jnp.ndarray] = None,
         rng: Optional[jax.Array] = None,
     ) -> float:
         """One optimization step on one cascade stage; returns the loss
@@ -261,19 +266,20 @@ class ImagenTrainer:
                 f"(only_train_unet, trainer.py:520-558); got {unet_number}"
             )
         if images is None:
-            images, dl_embeds, dl_mask = self._next_batch("train")
+            images, dl_embeds, dl_mask, dl_cond = self._next_batch("train")
             text_embeds = text_embeds if text_embeds is not None else dl_embeds
             text_mask = text_mask if text_mask is not None else dl_mask
+            cond_images = cond_images if cond_images is not None else dl_cond
         idx = unet_number - 1
         rng = jax.random.key(0) if rng is None else rng
         state = self.init_unet(unet_number, rng)
-        images, text_embeds, text_mask = self._shard_batch_arrays(
-            images, text_embeds, text_mask
+        images, text_embeds, text_mask, cond_images = self._shard_batch_arrays(
+            images, text_embeds, text_mask, cond_images
         )
         if idx not in self._train_steps:
             self._train_steps[idx] = self._build_train_step(idx)
         new_state, loss = self._train_steps[idx](
-            state, images, text_embeds, text_mask, rng
+            state, images, text_embeds, text_mask, cond_images, rng
         )
         self.states[idx] = new_state
         if (
@@ -291,17 +297,19 @@ class ImagenTrainer:
         *,
         text_embeds=None,
         text_mask=None,
+        cond_images=None,
         rng: Optional[jax.Array] = None,
     ) -> float:
         if images is None:
-            images, dl_embeds, dl_mask = self._next_batch("valid")
+            images, dl_embeds, dl_mask, dl_cond = self._next_batch("valid")
             text_embeds = text_embeds if text_embeds is not None else dl_embeds
             text_mask = text_mask if text_mask is not None else dl_mask
+            cond_images = cond_images if cond_images is not None else dl_cond
         idx = unet_number - 1
         rng = jax.random.key(1) if rng is None else rng
         state = self.init_unet(unet_number, rng)
-        images, text_embeds, text_mask = self._shard_batch_arrays(
-            images, text_embeds, text_mask
+        images, text_embeds, text_mask, cond_images = self._shard_batch_arrays(
+            images, text_embeds, text_mask, cond_images
         )
         loss = self.imagen.p_losses(
             idx,
@@ -310,6 +318,7 @@ class ImagenTrainer:
             rng,
             text_embeds=text_embeds,
             text_mask=text_mask,
+            cond_images=cond_images,
             train=False,
         )
         return float(jax.device_get(loss))
@@ -334,7 +343,7 @@ class ImagenTrainer:
             )
             params_list.append({"params": params})
 
-        array_keys = {"text_embeds", "text_mask"}
+        array_keys = {"text_embeds", "text_mask", "cond_images"}
         static = {k: v for k, v in kwargs.items() if k not in array_keys}
         arrays = {k: kwargs[k] for k in array_keys if kwargs.get(k) is not None}
         simple = set(static) <= {"batch_size", "cond_scale", "stop_at_unet_number"}

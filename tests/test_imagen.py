@@ -610,3 +610,118 @@ class TestCascadeLossTypesAndStartImage:
             start_at_unet_number=2,
         )
         assert not np.allclose(x, np.asarray(out2))
+
+
+class TestCondImages:
+    """cond_images threading through the cascade — the reference's
+    image-conditioning channel (imagen_pytorch.py:2360,2920,2963-2967:
+    the unet channel-concats conditioning images resized to its input
+    resolution; the cascade/trainer pass them through to every stage).
+    This is what connects the Imagen cascade to DANRA-style conditioning
+    (lsm/topo/coarse fields) without text."""
+
+    def _cond_unet(self, lowres=False):
+        return ImagenUNet(
+            dim=16, dim_mults=(1, 2), channels=3, text_embed_dim=TEXT_DIM,
+            num_resnet_blocks=1, layer_attns=(False, True),
+            layer_cross_attns=(False, True), attn_heads=2,
+            lowres_cond=lowres, learned_sinu_dim=8,
+            cond_images_channels=2,
+        )
+
+    def _cascade(self, elucidated=False):
+        kw = dict(
+            unets=[self._cond_unet(), self._cond_unet(lowres=True)],
+            image_sizes=(8, 16), channels=3, timesteps=10,
+            cond_drop_prob=0.0,
+        )
+        if elucidated:
+            return ElucidatedImagen(edm=EDMConfig(num_sample_steps=4), **kw)
+        return Imagen(**kw)
+
+    def test_p_losses_sees_cond_images(self):
+        cascade = self._cascade()
+        images = jax.random.uniform(jax.random.key(0), (2, 16, 16, 3))
+        cond = jax.random.normal(jax.random.key(1), (2, 16, 16, 2))
+        te, tm = text_batch()
+        for idx in range(2):
+            params = cascade.init_unet_params(
+                idx, jax.random.key(idx), text_embed_dim=TEXT_DIM
+            )
+            losses = [
+                float(cascade.p_losses(
+                    idx, params, images, jax.random.key(3),
+                    text_embeds=te, text_mask=tm, cond_images=c,
+                ))
+                for c in (cond, cond * 3.0 + 1.0)
+            ]
+            assert np.isfinite(losses).all(), f"stage {idx}"
+            # different conditioning images -> different loss (same rng)
+            assert losses[0] != losses[1], f"stage {idx} ignored cond_images"
+
+    def test_elucidated_p_losses_sees_cond_images(self):
+        cascade = self._cascade(elucidated=True)
+        images = jax.random.uniform(jax.random.key(0), (2, 16, 16, 3))
+        cond = jax.random.normal(jax.random.key(1), (2, 16, 16, 2))
+        te, tm = text_batch()
+        params = cascade.init_unet_params(
+            0, jax.random.key(0), text_embed_dim=TEXT_DIM
+        )
+        l0 = float(cascade.p_losses(
+            0, params, images, jax.random.key(3),
+            text_embeds=te, text_mask=tm, cond_images=cond,
+        ))
+        l1 = float(cascade.p_losses(
+            0, params, images, jax.random.key(3),
+            text_embeds=te, text_mask=tm, cond_images=cond * 3.0 + 1.0,
+        ))
+        assert np.isfinite([l0, l1]).all() and l0 != l1
+
+    def test_sample_threads_cond_images_to_every_stage(self):
+        cascade = self._cascade()
+        te, tm = text_batch()
+        params = [
+            cascade.init_unet_params(
+                i, jax.random.key(i), text_embed_dim=TEXT_DIM
+            )
+            for i in range(2)
+        ]
+        cond = jax.random.normal(jax.random.key(1), (2, 16, 16, 2))
+        out = cascade.sample(
+            params, jax.random.key(5), batch_size=2,
+            text_embeds=te, text_mask=tm, cond_images=cond,
+        )
+        assert out.shape == (2, 16, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()
+        out2 = cascade.sample(
+            params, jax.random.key(5), batch_size=2,
+            text_embeds=te, text_mask=tm, cond_images=cond * 3.0 + 1.0,
+        )
+        # both stages condition on the images (same rng, different cond)
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    def test_trainer_dict_batches_with_cond_images(self):
+        cascade = Imagen(
+            unets=[self._cond_unet()], image_sizes=(8,), channels=3,
+            timesteps=10, cond_drop_prob=0.0,
+        )
+        trainer = ImagenTrainer(
+            cascade,
+            ImagenTrainerConfig(learning_rate=2e-3),
+            text_embed_dim=TEXT_DIM,
+        )
+        te, tm = text_batch(2)
+        batch = {
+            "images": jax.random.uniform(jax.random.key(0), (2, 8, 8, 3)),
+            "text_embeds": te,
+            "text_mask": tm,
+            "cond_images": jax.random.normal(jax.random.key(1), (2, 8, 8, 2)),
+        }
+        trainer.add_train_dataloader([batch])
+        loss = trainer.train_step(1, rng=jax.random.key(2))
+        assert np.isfinite(loss)
+        out = trainer.sample(
+            jax.random.key(3), batch_size=2, text_embeds=te, text_mask=tm,
+            cond_images=batch["cond_images"],
+        )
+        assert out.shape == (2, 8, 8, 3)
