@@ -97,7 +97,16 @@ def _pallas_fused(xp, wk, gp, bp, resp, *, eps, gelu, residual, interpret):
     kern = functools.partial(
         _kernel, eps=eps, gelu=gelu, residual=residual
     )
-    res_spec = pl.BlockSpec((1, h, w2, co2), lambda i: (i, 0, 0, 0))
+    if residual:
+        res_spec = pl.BlockSpec((1, h, w2, co2), lambda i: (i, 0, 0, 0))
+    else:
+        # unused operand: stream a single tiny block so it costs no VMEM
+        resp = resp[:, :1, :1, :]
+        res_spec = pl.BlockSpec((1, 1, 1, co2), lambda i: (i, 0, 0, 0))
+    # working set per grid step (64ch@128^2 packed site): x 2 MB + pad
+    # scratch 2.2 MB + f32 acc 4 MB + out 2 MB (+ res 2 MB) and Mosaic
+    # double-buffers the streamed blocks — the default 16 MB scoped VMEM
+    # cap rejects it at compile; the real v5e VMEM is 128 MB
     return pl.pallas_call(
         kern,
         grid=(b,),
@@ -113,6 +122,7 @@ def _pallas_fused(xp, wk, gp, bp, resp, *, eps, gelu, residual, interpret):
         scratch_shapes=[pltpu.VMEM((h + 2, w2 + 2, c2), xp.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xp, wk, gp, bp, resp)
