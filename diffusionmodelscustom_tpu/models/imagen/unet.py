@@ -105,6 +105,38 @@ class CrossAttention(nn.Module):
         return nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_out")(out)
 
 
+class _GNParams(nn.Module):
+    """Parameter-only stand-in for ``nn.GroupNorm`` — identical leaves,
+    so the fused Pallas path (ops/fused_norm_conv.py) shares checkpoints
+    with the unfused block byte-for-byte."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,),
+                       jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32),
+        )
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv(features, (3,3))``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, cin, self.features), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32),
+        )
+
+
 class ResnetBlock(nn.Module):
     """FiLM resnet block (imagen_pytorch.py:1498-1650): two GroupNorm ->
     (scale,shift) -> SiLU -> conv blocks, residual 1x1, optional
@@ -123,6 +155,20 @@ class ResnetBlock(nn.Module):
     # (ops/quantized_conv.py: 186 vs 127 TF/s on the v5e int8 MXU path).
     # Identical parameter tree; approximate — keep False for training.
     conv_quant: bool = False
+    # Fused GN+FiLM+SiLU+conv3x3 Pallas kernel for the narrow (<=64ch)
+    # maps — the SR stage's full-resolution level (ops/fused_norm_conv.py,
+    # probe: scripts/probe_fused_conv_r4.py --sr). Identical parameter
+    # tree (param-only stand-ins below); opt-in.
+    fused_narrow: bool = False
+
+    def _fuse_ok(self, cin: int, x: jnp.ndarray) -> bool:
+        return (
+            self.fused_narrow
+            and not self.conv_quant
+            and max(cin, self.out_channels) <= 64
+            and cin % min(self.groups, cin) == 0
+            and x.shape[2] % 2 == 0
+        )
 
     @nn.compact
     def __call__(
@@ -132,6 +178,8 @@ class ResnetBlock(nn.Module):
         context: Optional[jnp.ndarray] = None,
         context_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        from ...ops.fused_norm_conv import fused_gn_silu_conv
+
         scale_shift = None
         if time_emb is not None:
             h_t = nn.silu(time_emb)
@@ -142,6 +190,23 @@ class ResnetBlock(nn.Module):
             scale_shift = (scale, shift)
 
         def block(h, use_film, name):
+            cin = h.shape[-1]
+            if self._fuse_ok(cin, h):
+                gamma, beta = _GNParams(cin, name=f"{name}_gn")()
+                kernel, cbias = _ConvParams(
+                    self.out_channels, name=f"{name}_conv"
+                )(cin)
+                film = use_film and scale_shift is not None
+                # FiLM operates on the POST-norm map whose width is Cout
+                # == Cin at fused sites (same-channel blocks only)
+                fs = (scale_shift[0][:, 0, 0, :] if film else None)
+                fh = (scale_shift[1][:, 0, 0, :] if film else None)
+                return fused_gn_silu_conv(
+                    h.astype(self.dtype), kernel.astype(self.dtype),
+                    gamma, beta, cbias,
+                    groups=min(self.groups, cin),
+                    film_scale=fs, film_shift=fh,
+                )
             h = nn.GroupNorm(
                 num_groups=min(self.groups, h.shape[-1]),
                 dtype=self.dtype,
@@ -363,6 +428,10 @@ class ImagenUNet(nn.Module):
     # trained checkpoints load either way. Keep False for training
     # (differentiating through it raises). Beyond-reference knob.
     conv_quant: bool = False
+    # Fused GN+FiLM+SiLU+conv Pallas kernel for the narrow (<=64ch)
+    # resnet maps (ops/fused_norm_conv.py) — the SR stage's full-res
+    # level. Identical parameter tree; opt-in. Beyond-reference knob.
+    fused_narrow: bool = False
     # skip concat scaled by 2^-0.5 (imagen_pytorch.py:2602,3146;
     # reference default is True, :2390)
     scale_skip_connection: bool = True
@@ -619,6 +688,7 @@ class ImagenUNet(nn.Module):
                     linear_cross_attn=use_lin_cross,
                     dtype=self.dtype,
                     conv_quant=self.conv_quant,
+                    fused_narrow=self.fused_narrow,
                     name=f"down_{lvl}_res{bi}",
                 )(
                     h,
@@ -667,6 +737,7 @@ class ImagenUNet(nn.Module):
             time_cond_dim=time_cond_dim,
             dtype=self.dtype,
             conv_quant=self.conv_quant,
+            fused_narrow=self.fused_narrow,
             name="mid_res1",
         )(h, time_cond, context, context_mask)
         if self.attend_at_middle:
@@ -685,6 +756,7 @@ class ImagenUNet(nn.Module):
             time_cond_dim=time_cond_dim,
             dtype=self.dtype,
             conv_quant=self.conv_quant,
+            fused_narrow=self.fused_narrow,
             name="mid_res2",
         )(h, time_cond, context, context_mask)
 
@@ -718,6 +790,7 @@ class ImagenUNet(nn.Module):
                     linear_cross_attn=use_lin_cross,
                     dtype=self.dtype,
                     conv_quant=self.conv_quant,
+                    fused_narrow=self.fused_narrow,
                     name=f"up_{lvl}_res{bi}",
                 )(
                     h,
@@ -764,6 +837,7 @@ class ImagenUNet(nn.Module):
                 groups=self.resnet_groups,
                 dtype=self.dtype,
                 conv_quant=self.conv_quant,
+                fused_narrow=self.fused_narrow,
                 name="final_res_block",
             )(h, time_cond)
         if lowres_for_head is not None:

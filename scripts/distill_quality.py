@@ -81,6 +81,12 @@ def main():
     if not cache.exists():
         cache = params_cache_path(VARIANT, TRAIN_STEPS)
     if not cache.exists():
+        # legacy cache name from before variant_slug disambiguation
+        # (a make_parity run launched with the old naming writes here)
+        cache = pathlib.Path(
+            f"/tmp/parity_params_{VARIANT.split('__')[0]}_{TRAIN_STEPS}.bin"
+        )
+    if not cache.exists():
         raise SystemExit("run scripts/fewstep_quality.py first (teacher cache)")
 
     bundles = load_reference_bundles()

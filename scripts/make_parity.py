@@ -117,16 +117,29 @@ PARAMS_DIR = pathlib.Path("/tmp")
 DATA_MIN, DATA_MAX = -15.0, 30.0  # Celsius scale range for [-1, 1]
 
 
+def variant_slug(variant: str) -> str:
+    """Unique per-variant cache tag. The bare first segment collides for
+    the two ERA5 variants (sdfweighted/ValLoss vs simple — identical
+    'DDPM_conditional_ERA5' prefix), which would silently reuse one
+    variant's trained params for the other; append the loss tag and the
+    ValLoss marker to disambiguate."""
+    slug = variant.split("__")[0]
+    slug += "_sdfw" if "sdfweighted" in variant else "_simple"
+    if "ValLoss" in variant:
+        slug += "_valloss"
+    return slug
+
+
 def params_cache_path(variant: str, steps: int) -> pathlib.Path:
     """EMA-params cache for one trained variant (shared with
     scripts/fewstep_quality.py, whose ERA5 teacher is the IDENTICAL
     training run — same seeds, budget and TrainerConfig)."""
-    return PARAMS_DIR / f"parity_params_{variant.split('__')[0]}_{steps}.bin"
+    return PARAMS_DIR / f"parity_params_{variant_slug(variant)}_{steps}.bin"
 
 
 def gen_cache_path(variant: str, steps: int, churn: float) -> pathlib.Path:
     tag = f"churn{churn:g}" if churn else "exact"
-    return ARTIFACT_DIR / f"gen_{variant.split('__')[0]}_{steps}_{tag}.npz"
+    return ARTIFACT_DIR / f"gen_{variant_slug(variant)}_{steps}_{tag}.npz"
 
 
 def log(*a):
