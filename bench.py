@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
 import sys
 import time
 
@@ -369,7 +370,8 @@ def main() -> None:
         "--config",
         default="danra128",
         choices=["mnist", "danra64", "danra64cond", "danra128",
-                 "danra128int8", "danra128serve", "latency", "latencyserve",
+                 "danra128int8", "danra128serve", "danra128distill12",
+                 "latency", "latencyserve",
                  "cascade", "cascadeint8",
                  "train"],
     )
@@ -439,6 +441,18 @@ def main() -> None:
                     tag="danra128_cond_ddim25_int8_serving",
                     conv_quant=True, pv_int8=True, num_steps=25,
                     params_file=args.params)
+    elif args.config == "danra128distill12":
+        # the progressively-distilled 12-step serving point
+        # (scripts/distill_quality.py saves the student in-repo; quality
+        # scorecard: docs/FEWSTEP.md distilled table)
+        student = str(pathlib.Path(__file__).resolve().parent
+                      / "artifacts" / "distill_student_12.bin")
+        bench_danra(128, conditional=True, batch=32,
+                    tag="danra128_cond_ddim12_distilled_serving",
+                    conv_quant=True, pv_int8=True, num_steps=12,
+                    params_file=args.params or (
+                        student if pathlib.Path(student).exists() else None
+                    ))
     elif args.config == "latencyserve":
         # batch-1 serving SLO on the few-step path: samples/s at batch 1
         # is the inverse per-sample latency (the log line prints seconds)

@@ -228,6 +228,16 @@ def main():
             score(params, n_steps, f"distilled_{n_steps}_clip", True)
             if n_steps == 25:
                 score(params, n_steps, "distilled_25", False)
+        if n_steps == 12:
+            # the 12-step serving student: persisted in-repo so
+            # bench.py danra128serve --params_file can time the REAL
+            # quality-measured weights after /tmp is wiped
+            art = REPO / "artifacts"
+            art.mkdir(parents=True, exist_ok=True)
+            (art / "distill_student_12.bin").write_bytes(
+                serialization.to_bytes(params)
+            )
+            log("saved 12-step student -> artifacts/distill_student_12.bin")
     log(f"distilled {START_STEPS} -> {END_STEPS} steps "
         f"in {time.time() - t0:.0f}s total")
 
