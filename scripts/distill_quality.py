@@ -188,9 +188,70 @@ def main():
         budget //= 2
 
     def student_cache(n_steps):
-        return pathlib.Path(
-            f"/tmp/distill_{CACHE_TAG}_{steps_per_round}_{n_steps}.bin"
-        )
+        # in-repo (NOT /tmp): per-round students survive the /tmp wipe at
+        # round transitions, so a killed paper-regime run resumes at
+        # halving-round granularity next round
+        d = REPO / "artifacts" / "distill"
+        d.mkdir(parents=True, exist_ok=True)
+        return d / f"distill_{CACHE_TAG}_{steps_per_round}_{n_steps}.bin"
+
+    def publish():
+        # Incremental: rewrite the distilled section of docs/FEWSTEP.md +
+        # FEWSTEP.json after EVERY scored budget, so a run killed at the
+        # round boundary still publishes the budgets it reached.
+        metrics = [
+            ("rmse", "RMSE"), ("mae", "MAE"), ("crps", "CRPS"),
+            ("wasserstein1", "W1"), ("ks", "KS"), ("fid_rf", "FID (rf)"),
+            ("psd_dist", "PSD dist"),
+            ("morans_i_gen", "Moran's I"),
+            ("frac_outside_truth_range", "out-of-range"),
+        ]
+        budget_cols = [
+            f"distilled_{b}_clip" for b in SCORE_BUDGETS
+            if f"distilled_{b}_clip" in results
+        ]
+        if not budget_cols:
+            return
+        few = json.loads((REPO / "FEWSTEP.json").read_text())
+        lines = [
+            "",
+            "## Distilled students (same held-out fields)",
+            "",
+            f"Progressive distillation ({START_STEPS} -> {END_STEPS} DDIM",
+            f"steps, {steps_per_round} steps/round — the paper's update",
+            "regime — teacher = the model above), student scored at each",
+            "serving budget on the way down",
+            "(all with clip_denoised, like the training-free rows):",
+            "",
+            "| metric | "
+            + " | ".join(c.split("_")[1] + " steps" for c in budget_cols)
+            + " | (training-free DPM++ 25) |",
+            "|---|" + "---|" * (len(budget_cols) + 1),
+        ]
+        for key, label in metrics:
+            cells = " | ".join(
+                f"{results[c]['heldout_' + key]:.3f}"
+                if ("heldout_" + key) in results[c] else "-"
+                for c in budget_cols
+            )
+            ref = few["dpmpp2m_25"].get("heldout_" + key)
+            lines.append(
+                f"| {label} | {cells} "
+                f"| {ref:.3f} |" if ref is not None
+                else f"| {label} | {cells} | - |"
+            )
+        lines += ["", "Generated by `scripts/distill_quality.py`; raw in",
+                  "`FEWSTEP.json` (distilled keys, incl. an unclipped",
+                  "distilled_25)."]
+        md_path = REPO / "docs" / "FEWSTEP.md"
+        md = md_path.read_text()
+        marker = "\n## Distilled students"
+        if marker in md:  # replace, never duplicate, a prior section
+            md = md[: md.index(marker)].rstrip() + "\n"
+        md_path.write_text(md + "\n".join(lines) + "\n")
+        few.update(results)
+        (REPO / "FEWSTEP.json").write_text(json.dumps(few, indent=1))
+        log(f"published {len(budget_cols)} distilled budgets")
 
     t0 = time.time()
     it = batches()
@@ -228,6 +289,7 @@ def main():
             score(params, n_steps, f"distilled_{n_steps}_clip", True)
             if n_steps == 25:
                 score(params, n_steps, "distilled_25", False)
+            publish()
         if n_steps == 12:
             # the 12-step serving student: persisted in-repo so
             # bench.py danra128serve --params_file can time the REAL
@@ -240,51 +302,7 @@ def main():
             log("saved 12-step student -> artifacts/distill_student_12.bin")
     log(f"distilled {START_STEPS} -> {END_STEPS} steps "
         f"in {time.time() - t0:.0f}s total")
-
-    # append the distilled section to docs/FEWSTEP.md
-    metrics = [
-        ("rmse", "RMSE"), ("mae", "MAE"), ("crps", "CRPS"),
-        ("wasserstein1", "W1"), ("ks", "KS"), ("fid_rf", "FID (rf)"),
-        ("psd_dist", "PSD dist"),
-        ("morans_i_gen", "Moran's I"),
-        ("frac_outside_truth_range", "out-of-range"),
-    ]
-    budget_cols = [f"distilled_{b}_clip" for b in SCORE_BUDGETS]
-    lines = [
-        "",
-        "## Distilled students (same held-out fields)",
-        "",
-        f"Progressive distillation ({START_STEPS} -> {END_STEPS} DDIM",
-        f"steps, {steps_per_round} steps/round — the paper's update",
-        "regime — teacher = the model above), student scored at each",
-        "serving budget on the way down",
-        "(all with clip_denoised, like the training-free rows):",
-        "",
-        "| metric | " + " | ".join(f"{b} steps" for b in SCORE_BUDGETS)
-        + " | (training-free DPM++ 25) |",
-        "|---|" + "---|" * (len(SCORE_BUDGETS) + 1),
-    ]
-    few = json.loads((REPO / "FEWSTEP.json").read_text())
-    for key, label in metrics:
-        cells = " | ".join(
-            f"{results[c]['heldout_' + key]:.3f}" for c in budget_cols
-        )
-        lines.append(
-            f"| {label} | {cells} "
-            f"| {few['dpmpp2m_25']['heldout_' + key]:.3f} |"
-        )
-    lines += ["", "Generated by `scripts/distill_quality.py`; raw in",
-              "`FEWSTEP.json` (distilled keys, incl. an unclipped",
-              "distilled_25)."]
-    md_path = REPO / "docs" / "FEWSTEP.md"
-    md = md_path.read_text()
-    marker = "\n## Distilled students"
-    if marker in md:  # replace, never duplicate, a prior distilled section
-        md = md[: md.index(marker)].rstrip() + "\n"
-    md_path.write_text(md + "\n".join(lines) + "\n")
-    few.update(results)
-    (REPO / "FEWSTEP.json").write_text(json.dumps(few, indent=1))
-    log("wrote distilled section to docs/FEWSTEP.md")
+    publish()
 
 
 if __name__ == "__main__":

@@ -113,7 +113,11 @@ VARIANT_CHURN_SWEEP: dict = {
 # generated fields + trained EMA params are cached so metric additions
 # don't force a 120k-step retrain (fields are small: 100x64x64 f16)
 ARTIFACT_DIR = REPO / "artifacts" / "parity"
-PARAMS_DIR = pathlib.Path("/tmp")
+# trained-variant EMA params live in-repo: /tmp is wiped between rounds,
+# and retraining a variant (12k-36k steps) is the expensive part of a
+# parity rerun — the driver commits untracked repo files at round end,
+# so these survive round transitions.
+PARAMS_DIR = REPO / "artifacts" / "params"
 DATA_MIN, DATA_MAX = -15.0, 30.0  # Celsius scale range for [-1, 1]
 
 
@@ -134,6 +138,7 @@ def params_cache_path(variant: str, steps: int) -> pathlib.Path:
     """EMA-params cache for one trained variant (shared with
     scripts/fewstep_quality.py, whose ERA5 teacher is the IDENTICAL
     training run — same seeds, budget and TrainerConfig)."""
+    PARAMS_DIR.mkdir(parents=True, exist_ok=True)
     return PARAMS_DIR / f"parity_params_{variant_slug(variant)}_{steps}.bin"
 
 
