@@ -174,6 +174,7 @@ class ProgressiveDistiller:
             schedule=schedule,
         )
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._scan = jax.jit(self._scan_impl, donate_argnums=(0,))
 
     def init_state(self) -> TrainState:
         """Student starts as a copy of the teacher (the paper's init).
@@ -252,6 +253,27 @@ class ProgressiveDistiller:
         new_state = state.apply_gradients(grads=grads)
         return new_state, {"loss": loss}
 
+    def _scan_impl(
+        self,
+        state: TrainState,
+        teacher_params,
+        data: Batch,
+        idx: jnp.ndarray,
+        rngs: jax.Array,
+        grid: jnp.ndarray,
+        n_steps: jnp.ndarray,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def body(st, xs):
+            ii, rr = xs
+            batch = {k: v[ii] for k, v in data.items()}
+            st, m = self._step_impl(
+                st, teacher_params, batch, rr, grid, n_steps
+            )
+            return st, m["loss"]
+
+        state, losses = jax.lax.scan(body, state, (idx, rngs))
+        return state, {"loss": losses[-1], "loss_mean": losses.mean()}
+
     # -- public --------------------------------------------------------------
 
     def distill_step(
@@ -262,6 +284,28 @@ class ProgressiveDistiller:
         # bloat and a guaranteed compile-cache miss per halving round)
         return self._step(
             state, self.teacher_params, batch, rng,
+            self._grid_padded, self._n_steps,
+        )
+
+    def distill_scan(
+        self, state: TrainState, data: Batch, idx: jnp.ndarray,
+        rngs: jax.Array,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """K updates in ONE jitted call (lax.scan), gathering each step's
+        batch on-device from the full device-resident ``data`` dict with
+        an (K, B) int32 ``idx`` array and (K,) ``rngs`` keys.
+
+        The small-map regime this exists for: at 64px batch 20 a single
+        ``distill_step`` is dispatch- and H2D-bound on a remote backend
+        (~1.6 MB of conditioning upload + one round-trip per update —
+        measured 2026-08-20 on the tunneled v5e: the 6.4x-smaller-FLOP
+        step ran only 1.5x faster than the 128px train step). Scanning K
+        updates per call uploads K*B*4 bytes of indices instead and pays
+        dispatch once per K. Semantically identical to K sequential
+        ``distill_step`` calls on ``data[idx[k]]`` batches (same RNG per
+        step; tests/test_distill.py asserts equivalence)."""
+        return self._scan(
+            state, self.teacher_params, data, idx, rngs,
             self._grid_padded, self._n_steps,
         )
 

@@ -30,6 +30,7 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "scripts"))
 from make_parity import (  # noqa: E402
     BATCH,
+    fetch_params,
     N_TIMESTEPS,
     N_TRAIN,
     VARIANTS,
@@ -131,12 +132,22 @@ def main():
     hold_idx = np.sort(perm[N_TRAIN:])
     order_rng = np.random.default_rng(3)
 
-    def batches():
-        while True:
-            idx = train_idx[
-                order_rng.choice(len(train_idx), BATCH, replace=False)
-            ]
-            yield {k: jnp.asarray(v[idx]) for k, v in batch_all.items()}
+    # Device-resident train fields (~5 MB, uploaded ONCE): each scanned
+    # step gathers its batch on-device from these by index — a single
+    # distill_step would otherwise upload ~1.6 MB of conditioning per
+    # update over the ~45 MB/s tunnel (the measured bottleneck at this
+    # batch/size; see ProgressiveDistiller.distill_scan).
+    train_data = {
+        k: jax.device_put(jnp.asarray(v[train_idx]))
+        for k, v in batch_all.items()
+    }
+    SCAN_K = 25  # updates per jitted call
+
+    def idx_block():
+        return np.stack([
+            order_rng.choice(len(train_idx), BATCH, replace=False)
+            for _ in range(SCAN_K)
+        ]).astype(np.int32)
 
     chunk = 25
     results = {}
@@ -254,12 +265,15 @@ def main():
         log(f"published {len(budget_cols)} distilled budgets")
 
     t0 = time.time()
-    it = batches()
     params = teacher
     for n_steps in schedule:
         cpath = student_cache(n_steps)
         if cpath.exists():
-            params = serialization.from_bytes(tmpl, cpath.read_bytes())
+            # device_put once: host leaves would re-upload ~62 MB per
+            # scoring chunk / distiller init over the tunnel
+            params = jax.device_put(
+                serialization.from_bytes(tmpl, cpath.read_bytes())
+            )
             log(f"round n={n_steps}: resumed from {cpath}")
         else:
             # warmup-cosine per round + unweighted eps loss: the measured
@@ -272,24 +286,32 @@ def main():
             d = ProgressiveDistiller(model, diffusion, params, cfg)
             state = d.init_state()
             tr = time.time()
-            for k in range(steps_per_round):
-                state, m = d.distill_step(
-                    state, next(it),
-                    jax.random.fold_in(jax.random.key(11), n_steps * 100003 + k),
+            n_calls = (steps_per_round + SCAN_K - 1) // SCAN_K
+            for c in range(n_calls):
+                rngs = jax.random.split(
+                    jax.random.fold_in(
+                        jax.random.key(11), n_steps * 100003 + c
+                    ),
+                    SCAN_K,
                 )
-                if k % 1000 == 0:
-                    log(f"  n={n_steps} step {k}: "
+                state, m = d.distill_scan(
+                    state, train_data, jnp.asarray(idx_block()), rngs
+                )
+                if c % 40 == 0:
+                    log(f"  n={n_steps} step {c * SCAN_K}: "
                         f"loss={float(jax.device_get(m['loss'])):.5f} "
                         f"({time.time() - tr:.0f}s)")
             params = state.ema_params
-            cpath.write_bytes(serialization.to_bytes(params))
-            log(f"round n={n_steps}: {steps_per_round} steps "
-                f"in {time.time() - tr:.0f}s")
+            host_params = fetch_params(params)
+            cpath.write_bytes(serialization.to_bytes(host_params))
+            log(f"round n={n_steps}: {n_calls * SCAN_K} steps "
+                f"in {time.time() - tr:.0f}s (ckpt saved)")
         if n_steps in SCORE_BUDGETS:
             score(params, n_steps, f"distilled_{n_steps}_clip", True)
+            publish()  # before the optional unclipped run: land the row
             if n_steps == 25:
                 score(params, n_steps, "distilled_25", False)
-            publish()
+                publish()
         if n_steps == 12:
             # the 12-step serving student: persisted in-repo so
             # bench.py danra128serve --params_file can time the REAL
@@ -297,7 +319,8 @@ def main():
             art = REPO / "artifacts"
             art.mkdir(parents=True, exist_ok=True)
             (art / "distill_student_12.bin").write_bytes(
-                serialization.to_bytes(params)
+                cpath.read_bytes() if cpath.exists()
+                else serialization.to_bytes(fetch_params(params))
             )
             log("saved 12-step student -> artifacts/distill_student_12.bin")
     log(f"distilled {START_STEPS} -> {END_STEPS} steps "

@@ -38,6 +38,7 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "scripts"))
 from make_parity import (  # noqa: E402
     BATCH,
+    fetch_params,
     N_TIMESTEPS,
     N_TRAIN,
     TRAIN_STEPS,
@@ -142,7 +143,9 @@ def main():
         params = (
             state.ema_params if state.ema_params is not None else state.params
         )
-        blob = serialization.to_bytes(params)
+        # packed single-buffer fetch: per-leaf to_bytes pays a tunnel
+        # round-trip per param (observed stuck >10 min on the teacher save)
+        blob = serialization.to_bytes(fetch_params(params))
         cache.write_bytes(blob)
         parity_cache.write_bytes(blob)
 

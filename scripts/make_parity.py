@@ -151,6 +151,31 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def fetch_params(params):
+    """Device param tree -> host numpy tree via ONE packed buffer fetch.
+
+    flax to_bytes / per-leaf device_get pays a tunnel round-trip per
+    buffer (~300 leaves — a teacher save was observed stuck >10 min);
+    one concatenated f32 buffer streams at the tunnel's ~45 MB/s
+    (~1.5 min for the 62 MB flagship). Use before any to_bytes on
+    device-resident params."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    flat = jax.jit(
+        lambda ls: jnp.concatenate(
+            [jnp.ravel(l).astype(jnp.float32) for l in ls]
+        )
+    )(leaves)
+    host = np.asarray(jax.device_get(flat))
+    out, off = [], 0
+    for l in leaves:
+        out.append(host[off:off + l.size].reshape(l.shape).astype(l.dtype))
+        off += l.size
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def scale(x):
     return (np.clip(x, DATA_MIN, DATA_MAX) - DATA_MIN) / (DATA_MAX - DATA_MIN) * 2 - 1
 
@@ -300,7 +325,9 @@ def main():
             log(f"trained {train_steps} steps in {time.time() - t0:.0f}s")
             params = state.ema_params if state.ema_params is not None else state.params
             if cache_ok:
-                pcache.write_bytes(serialization.to_bytes(params))
+                pcache.write_bytes(
+                    serialization.to_bytes(fetch_params(params))
+                )
 
         def sample_all(churn: float) -> np.ndarray:
             """All 100 matched-conditioning fields (Celsius), disk-cached."""
