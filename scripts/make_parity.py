@@ -35,7 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update(  # committed cache: .jax_cache is gitignored and /tmp wiped per round
+    "jax_compilation_cache_dir", "/root/repo/artifacts/jax_cache"
+)
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 VARIANTS = [
