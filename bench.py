@@ -482,7 +482,20 @@ def main() -> None:
                         conv_quant=True, pv_int8=True, num_steps=25,
                         params_file=args.params)
 
-        for secondary in (bench_train, _serve):
+        def _distill12():
+            # the quality-measured 12-step serving student (paper-regime
+            # progressive distillation, docs/FEWSTEP.md distilled table);
+            # only when the in-repo artifact exists
+            student = (pathlib.Path(__file__).resolve().parent
+                       / "artifacts" / "distill_student_12.bin")
+            if not student.exists():
+                raise FileNotFoundError(student)
+            bench_danra(128, conditional=True, batch=32,
+                        tag="danra128_cond_ddim12_distilled_serving",
+                        conv_quant=True, pv_int8=True, num_steps=12,
+                        params_file=str(student))
+
+        for secondary in (bench_train, _serve, _distill12):
             try:
                 secondary()
             except Exception as e:  # noqa: BLE001 — protect the primary
