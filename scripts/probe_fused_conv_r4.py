@@ -22,7 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update(
+    "jax_compilation_cache_dir", "/root/repo/artifacts/jax_cache"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from diffusionmodelscustom_tpu.ops.fused_conv_gn import fused_conv_gn_gelu
