@@ -76,7 +76,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def emit(metric, value, unit, vs_baseline):
+def emit(metric, value, unit, vs_baseline, **extra):
     print(
         json.dumps(
             {
@@ -84,9 +84,33 @@ def emit(metric, value, unit, vs_baseline):
                 "value": round(float(value), 4),
                 "unit": unit,
                 "vs_baseline": round(float(vs_baseline), 3),
+                **extra,
             }
         )
     )
+
+
+def distilled_quality_fields(n_steps: int = 12) -> dict:
+    """Held-out quality of the distilled serving student, read from
+    FEWSTEP.json so the emitted throughput line can't be conflated with
+    'equivalent quality' (round-4 VERDICT item 7). Prefers the
+    `serving_student_{n}` pointer (written by the script that saved the
+    artifact bench times) and falls back to the `distilled_{n}_clip`
+    scorecard."""
+    p = pathlib.Path(__file__).resolve().parent / "FEWSTEP.json"
+    try:
+        few = json.loads(p.read_text())
+        d = few.get(f"serving_student_{n_steps}") or few[
+            f"distilled_{n_steps}_clip"
+        ]
+        return {
+            "quality_heldout_rmse_degC": d["heldout_rmse"],
+            "quality_heldout_fid_rf": d["heldout_fid_rf"],
+            "quality_heldout_morans_i": d["heldout_morans_i_gen"],
+        }
+    except Exception as e:  # noqa: BLE001 — quality tag must not sink bench
+        log(f"no distilled quality fields available: {e!r}")
+        return {}
 
 
 def _sync(x):
@@ -123,7 +147,8 @@ def _time_sampler(sample_fn, batch):
 
 def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = "",
                 conv_quant: bool = False, pv_int8: bool = False,
-                num_steps: int | None = None, params_file: str | None = None):
+                num_steps: int | None = None, params_file: str | None = None,
+                extra: dict | None = None):
     from __graft_entry__ import _example_batch, _flagship
     from diffusionmodelscustom_tpu.core import GaussianDiffusion
     from diffusionmodelscustom_tpu.models import ConditionalUNet
@@ -194,7 +219,8 @@ def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = "",
     sps = _time_sampler(sample_fn, batch)
     key = "mnist" if size == 32 else ("danra128" if size == 128 else ("danra64cond" if conditional else "danra64"))
     emit(tag, sps, "samples/sec/chip",
-         sps / ref_a100_sps(key, n_steps=num_steps or N_TIMESTEPS))
+         sps / ref_a100_sps(key, n_steps=num_steps or N_TIMESTEPS),
+         **(extra or {}))
 
 
 def bench_mnist():
@@ -452,7 +478,8 @@ def main() -> None:
                     conv_quant=True, pv_int8=True, num_steps=12,
                     params_file=args.params or (
                         student if pathlib.Path(student).exists() else None
-                    ))
+                    ),
+                    extra=distilled_quality_fields(12))
     elif args.config == "latencyserve":
         # batch-1 serving SLO on the few-step path: samples/s at batch 1
         # is the inverse per-sample latency (the log line prints seconds)
@@ -493,7 +520,8 @@ def main() -> None:
             bench_danra(128, conditional=True, batch=32,
                         tag="danra128_cond_ddim12_distilled_serving",
                         conv_quant=True, pv_int8=True, num_steps=12,
-                        params_file=str(student))
+                        params_file=str(student),
+                        extra=distilled_quality_fields(12))
 
         for secondary in (bench_train, _serve, _distill12):
             try:

@@ -96,10 +96,14 @@ def _pallas_fused(xp, wk, gp, bp, fsp, fhp, biasp, oh, oht, *, eps, film,
     co2 = wk.shape[2]
     cnt = float(h * w2 * c2 // groups)  # elements per group (packed)
     kern = functools.partial(_kernel, eps=eps, film=film, cnt=cnt)
+    # FiLM operands are (B, 1, 2C): batch on the LEADING (grid-blocked)
+    # axis so the block's last two dims (1, 2C) equal the array dims —
+    # Mosaic rejects a (1, 2C) block over a (B, 2C) array (sub-8 block on
+    # the second-minor dim). Caught on real TPU lowering, round 5.
     if film:
-        film_spec = pl.BlockSpec((1, c2), lambda i: (i, 0))
+        film_spec = pl.BlockSpec((1, 1, c2), lambda i: (i, 0, 0))
     else:
-        film_spec = pl.BlockSpec((1, c2), lambda i: (0, 0))
+        film_spec = pl.BlockSpec((1, 1, c2), lambda i: (0, 0, 0))
     return pl.pallas_call(
         kern,
         grid=(b,),
@@ -167,11 +171,11 @@ def _fused(x, w, gamma, beta, fscale, fshift, bias, eps, film, groups,
     gp = jnp.tile(gamma.astype(jnp.float32), 2)[None]
     bp = jnp.tile(beta.astype(jnp.float32), 2)[None]
     if film:
-        fsp = jnp.tile(fscale.astype(jnp.float32), (1, 2))
-        fhp = jnp.tile(fshift.astype(jnp.float32), (1, 2))
+        fsp = jnp.tile(fscale.astype(jnp.float32), (1, 2))[:, None, :]
+        fhp = jnp.tile(fshift.astype(jnp.float32), (1, 2))[:, None, :]
     else:
-        fsp = jnp.zeros((1, 2 * c), jnp.float32)
-        fhp = jnp.zeros((1, 2 * c), jnp.float32)
+        fsp = jnp.zeros((1, 1, 2 * c), jnp.float32)
+        fhp = jnp.zeros((1, 1, 2 * c), jnp.float32)
     biasp = jnp.tile(bias.astype(jnp.float32), 2)[None]
     oh_np = _group_onehot(c, groups)
     oh = jnp.asarray(oh_np)

@@ -145,6 +145,7 @@ def ddim_sample(
     uncond_fn: Optional[DenoiseFn] = None,
     cfg_scale: float = 0.0,
     clip_denoised: bool = False,
+    churn: float = 0.0,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Few-step DDIM sampling (arXiv:2010.02502) — the TPU fast path.
@@ -157,6 +158,14 @@ def ddim_sample(
     held-out parity fields at 50 steps: RMSE 12.2 unclipped vs 5.4
     clipped, FID 2441 vs 162 — FEWSTEP.json); keep False only for
     exact ancestral-parity runs.
+
+    ``churn > 0`` applies the same inject-then-redenoise stochasticity as
+    ``ancestral_sample``'s churn (EDM S_churn analogue): before each DDIM
+    step at t the state is lifted to t_hat = t + ceil(churn * t) with
+    marginal-preserving forward noise, and the (still deterministic-eta)
+    DDIM step runs from t_hat down to t_prev. This is the measured fix
+    for few-step chains' high-frequency-residue Moran's-I/PSD signature
+    (PARITY.md section 3); churn=0 keeps the exact DDIM chain.
     """
     rng_init, rng_loop = jax.random.split(rng)
     if x_init is None:
@@ -173,7 +182,28 @@ def ddim_sample(
 
     def step(x, pair):
         t_i, t_prev = pair[0], pair[1]
-        t = jnp.full((batch,), t_i, jnp.int32)
+        if churn > 0.0:
+            # lift t -> t_hat with q(x_that | x_t): preserves the forward
+            # marginal, re-randomizes high-frequency content
+            t_hat_i = jnp.minimum(
+                t_i + jnp.ceil(churn * t_i).astype(jnp.int32),
+                diffusion.n_timesteps - 1,
+            )
+            ab_t = diffusion.alpha_bar[t_i].astype(x.dtype)
+            ab_hat = diffusion.alpha_bar[t_hat_i].astype(x.dtype)
+            ratio = ab_hat / ab_t
+            extra_var = jnp.maximum(
+                (1.0 - ab_hat) - ratio * (1.0 - ab_t), 0.0
+            )
+            lift_rng = jax.random.fold_in(
+                rng_loop, t_i + diffusion.n_timesteps
+            )
+            x = jnp.sqrt(ratio) * x + jnp.sqrt(extra_var) * jax.random.normal(
+                lift_rng, x.shape, x.dtype
+            )
+            t = jnp.full((batch,), t_hat_i, jnp.int32)
+        else:
+            t = jnp.full((batch,), t_i, jnp.int32)
         eps = _predict(denoise_fn, uncond_fn, cfg_scale, x, t)
         z = None
         if eta > 0.0:

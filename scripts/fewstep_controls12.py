@@ -3,8 +3,9 @@
 The distilled 12-step student (docs/FEWSTEP.md) needs same-budget
 training-free baselines to make the comparison legible: DDIM-12 and
 DPM-Solver++-2M-12 with the SAME teacher params on the SAME held-out
-split. Appends `ddim_12` / `dpmpp2m_12` to FEWSTEP.json and rewrites the
-distilled section's context line.
+split. Appends `ddim_12` / `dpmpp2m_12` to FEWSTEP.json only; the
+FEWSTEP.md controls paragraph is regenerated from those keys by
+scripts/distill_quality.py::publish.
 
 Run (TPU, ~5 min warm): python scripts/fewstep_controls12.py
 """

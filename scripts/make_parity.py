@@ -165,6 +165,17 @@ def fetch_params(params):
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree_util.tree_flatten(params)
+    for l in leaves:
+        # the f32 staging buffer is exact for inexact <=32-bit leaves
+        # (f32/bf16/f16) but silently lossy for f64 or integer leaves
+        # >2^24 (e.g. step counters) — fail loudly on an incompatible tree
+        # instead of corrupting a checkpoint (round-4 ADVICE item 2)
+        dt = jnp.asarray(l).dtype
+        if not (jnp.issubdtype(dt, jnp.inexact) and dt.itemsize <= 4):
+            raise TypeError(
+                f"fetch_params: leaf dtype {dt} cannot round-trip through "
+                "the packed f32 buffer; fetch it separately"
+            )
     flat = jax.jit(
         lambda ls: jnp.concatenate(
             [jnp.ravel(l).astype(jnp.float32) for l in ls]
