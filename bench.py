@@ -90,26 +90,34 @@ def emit(metric, value, unit, vs_baseline, **extra):
     )
 
 
-def distilled_quality_fields(n_steps: int = 12) -> dict:
-    """Held-out quality of the distilled serving student, read from
+SERVE_CHURN = 0.1  # the measured matched-quality serving recipe:
+# sample-time churn on the few-step DDIM chains (scripts/distill_fresh.py
+# + fewstep_churn_controls.py, round-5). Held-out on the parity teacher:
+# DDIM-25+churn0.1 RMSE 2.48 / FID-rf 3.6 / Moran 0.873 (vs the 800-step
+# chain's 2.57 / 18.4 / 0.821) and the distilled 12-step student
+# +churn0.1 2.56 / 12.3 / 0.497 — full scorecards in docs/FEWSTEP.md.
+
+
+def fewstep_quality_fields(*keys: str) -> dict:
+    """Held-out quality of a few-step serving recipe, read from
     FEWSTEP.json so the emitted throughput line can't be conflated with
-    'equivalent quality' (round-4 VERDICT item 7). Prefers the
-    `serving_student_{n}` pointer (written by the script that saved the
-    artifact bench times) and falls back to the `distilled_{n}_clip`
-    scorecard."""
+    'equivalent quality' (round-4 VERDICT item 7). Tries ``keys`` in
+    order and tags the emitted JSON with the first scorecard found."""
     p = pathlib.Path(__file__).resolve().parent / "FEWSTEP.json"
     try:
         few = json.loads(p.read_text())
-        d = few.get(f"serving_student_{n_steps}") or few[
-            f"distilled_{n_steps}_clip"
-        ]
-        return {
-            "quality_heldout_rmse_degC": d["heldout_rmse"],
-            "quality_heldout_fid_rf": d["heldout_fid_rf"],
-            "quality_heldout_morans_i": d["heldout_morans_i_gen"],
-        }
+        for k in keys:
+            d = few.get(k)
+            if d:
+                return {
+                    "quality_key": k,
+                    "quality_heldout_rmse_degC": d["heldout_rmse"],
+                    "quality_heldout_fid_rf": d["heldout_fid_rf"],
+                    "quality_heldout_morans_i": d["heldout_morans_i_gen"],
+                }
+        raise KeyError(keys)
     except Exception as e:  # noqa: BLE001 — quality tag must not sink bench
-        log(f"no distilled quality fields available: {e!r}")
+        log(f"no quality fields available: {e!r}")
         return {}
 
 
@@ -148,7 +156,7 @@ def _time_sampler(sample_fn, batch):
 def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = "",
                 conv_quant: bool = False, pv_int8: bool = False,
                 num_steps: int | None = None, params_file: str | None = None,
-                extra: dict | None = None):
+                extra: dict | None = None, churn: float = 0.0):
     from __graft_entry__ import _example_batch, _flagship
     from diffusionmodelscustom_tpu.core import GaussianDiffusion
     from diffusionmodelscustom_tpu.models import ConditionalUNet
@@ -202,12 +210,13 @@ def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = "",
 
     diffusion = GaussianDiffusion.create(n_timesteps=N_TIMESTEPS)
     if num_steps is not None:
-        # few-step serving: DDIM sub-sequence with x0 clamping (the
-        # quality-measured configuration, docs/FEWSTEP.md)
+        # few-step serving: DDIM sub-sequence with x0 clamping + the
+        # measured sample-time churn recipe (the quality-measured
+        # configuration, docs/FEWSTEP.md)
         sample_fn = jax.jit(
             lambda key: ddim_sample(
                 denoise, diffusion, key, (batch, size, size, 1),
-                num_steps=num_steps, clip_denoised=True,
+                num_steps=num_steps, clip_denoised=True, churn=churn,
             )
         )
     else:
@@ -466,7 +475,9 @@ def main() -> None:
         bench_danra(128, conditional=True, batch=32,
                     tag="danra128_cond_ddim25_int8_serving",
                     conv_quant=True, pv_int8=True, num_steps=25,
-                    params_file=args.params)
+                    params_file=args.params, churn=SERVE_CHURN,
+                    extra=fewstep_quality_fields(
+                        f"ddim_25_churn{SERVE_CHURN:g}", "ddim_25_int8"))
     elif args.config == "danra128distill12":
         # the progressively-distilled 12-step serving point
         # (scripts/distill_quality.py saves the student in-repo; quality
@@ -479,13 +490,17 @@ def main() -> None:
                     params_file=args.params or (
                         student if pathlib.Path(student).exists() else None
                     ),
-                    extra=distilled_quality_fields(12))
+                    churn=SERVE_CHURN,
+                    extra=fewstep_quality_fields(
+                        f"distilled_fresh_12_churn{SERVE_CHURN:g}",
+                        "serving_student_12", "distilled_12_clip"))
     elif args.config == "latencyserve":
         # batch-1 serving SLO on the few-step path: samples/s at batch 1
         # is the inverse per-sample latency (the log line prints seconds)
         bench_danra(128, conditional=True, batch=1,
                     tag="danra128_cond_ddim25_int8_serving_b1",
-                    conv_quant=True, pv_int8=True, num_steps=25)
+                    conv_quant=True, pv_int8=True, num_steps=25,
+                    churn=SERVE_CHURN)
     elif args.config == "danra64":
         bench_danra(64, conditional=False, batch=16, tag="danra64_uncond_ddpm1000")
     elif args.config == "danra64cond":
@@ -507,7 +522,10 @@ def main() -> None:
             bench_danra(128, conditional=True, batch=32,
                         tag="danra128_cond_ddim25_int8_serving",
                         conv_quant=True, pv_int8=True, num_steps=25,
-                        params_file=args.params)
+                        params_file=args.params, churn=SERVE_CHURN,
+                        extra=fewstep_quality_fields(
+                            f"ddim_25_churn{SERVE_CHURN:g}",
+                            "ddim_25_int8"))
 
         def _distill12():
             # the quality-measured 12-step serving student (paper-regime
@@ -520,8 +538,10 @@ def main() -> None:
             bench_danra(128, conditional=True, batch=32,
                         tag="danra128_cond_ddim12_distilled_serving",
                         conv_quant=True, pv_int8=True, num_steps=12,
-                        params_file=str(student),
-                        extra=distilled_quality_fields(12))
+                        params_file=str(student), churn=SERVE_CHURN,
+                        extra=fewstep_quality_fields(
+                            f"distilled_fresh_12_churn{SERVE_CHURN:g}",
+                            "serving_student_12", "distilled_12_clip"))
 
         for secondary in (bench_train, _serve, _distill12):
             try:

@@ -152,6 +152,7 @@ class Trainer:
             tx = optax.MultiSteps(tx, every_k_schedule=config.grad_accum_steps)
         self.tx = tx
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # -- state ---------------------------------------------------------------
@@ -341,6 +342,38 @@ class Trainer:
 
     def train_step(self, state, batch, rng):
         return self._train_step(state, batch, rng)
+
+    def _train_scan_impl(
+        self, state: TrainState, data: Batch, idx: jnp.ndarray,
+        rngs: jax.Array,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def body(st, xs):
+            ii, rr = xs
+            batch = {k: v[ii] for k, v in data.items()}
+            st, m = self._train_step_impl(st, batch, rr)
+            return st, m["loss"]
+
+        state, losses = jax.lax.scan(body, state, (idx, rngs))
+        return state, {"loss": losses[-1], "loss_mean": losses.mean()}
+
+    def train_scan(self, state, data, idx, rngs):
+        """K train updates in ONE jitted call (``lax.scan``), gathering
+        each step's batch on-device from the device-resident ``data``
+        dict with a (K, B) int32 ``idx`` array and (K,) ``rngs`` keys.
+
+        The remote-backend small-batch regime this exists for: a single
+        ``train_step`` at 64px batch 20 is dispatch- and H2D-bound over
+        a tunneled TPU (~1 MB of batch upload + one round-trip per
+        update — the same measured bottleneck that motivated
+        ``ProgressiveDistiller.distill_scan``, docs/PERFORMANCE.md
+        round-4 notes). Scanning K updates per call uploads K*B*4 bytes
+        of indices instead and pays dispatch once per K. Semantically
+        identical to K sequential ``train_step`` calls on ``data[idx[k]]``
+        batches with per-step key ``rngs[k]``
+        (tests/test_trainer.py asserts equivalence). Host-side batch
+        augmentation does not fit this path — use ``train_step`` when
+        batches need per-step host transforms."""
+        return self._train_scan(state, data, idx, rngs)
 
     def lr_scale(self, state) -> float:
         """Current plateau LR multiplier (1.0 when no plateau scheduler)."""

@@ -323,18 +323,48 @@ def main():
             aug_rng = np.random.default_rng(1)
             aug_mode = VARIANT_AUG.get(variant, "none")
             cond_jitter = VARIANT_COND_JITTER.get(variant, 0.0)
-            for step in range(train_steps):
-                idx = train_idx[order_rng.choice(len(train_idx), BATCH, replace=False)]
-                batch = {k: v[idx] for k, v in batch_all.items()}
-                batch = augment(batch, aug_rng, aug_mode)
-                if cond_jitter and "img_cond" in batch:
-                    batch["img_cond"] = batch["img_cond"] + aug_rng.normal(
-                        0.0, cond_jitter, (len(idx), 1, 1, 1)
-                    ).astype(np.float32)
-                state, m = trainer.train_step(state, batch, jax.random.fold_in(rng, step))
-                if step % 1000 == 0:
-                    log(f"  step {step}: loss={float(jax.device_get(m['loss'])):.4f}"
-                        f" ({time.time() - t0:.0f}s)")
+            if aug_mode == "none" and not cond_jitter:
+                # no host-side batch transforms -> Trainer.train_scan:
+                # K updates per jitted call over the device-resident train
+                # fields, same per-step keys/index draws as the host loop
+                # (a single 64px batch-20 train_step is dispatch/H2D-bound
+                # on the remote tunnel — docs/PERFORMANCE.md round-4)
+                scan_k = 25
+                data = {
+                    k: jax.device_put(jnp.asarray(v[train_idx]))
+                    for k, v in batch_all.items()
+                }
+                step = 0
+                while step < train_steps:
+                    k_now = min(scan_k, train_steps - step)
+                    kidx = np.stack([
+                        order_rng.choice(len(train_idx), BATCH, replace=False)
+                        for _ in range(k_now)
+                    ]).astype(np.int32)
+                    rngs = jax.vmap(
+                        lambda s: jax.random.fold_in(rng, s)
+                    )(jnp.arange(step, step + k_now))
+                    state, m = trainer.train_scan(
+                        state, data, jnp.asarray(kidx), rngs
+                    )
+                    if step % 1000 == 0:
+                        log(f"  step {step}: "
+                            f"loss={float(jax.device_get(m['loss'])):.4f}"
+                            f" ({time.time() - t0:.0f}s)")
+                    step += k_now
+            else:
+                for step in range(train_steps):
+                    idx = train_idx[order_rng.choice(len(train_idx), BATCH, replace=False)]
+                    batch = {k: v[idx] for k, v in batch_all.items()}
+                    batch = augment(batch, aug_rng, aug_mode)
+                    if cond_jitter and "img_cond" in batch:
+                        batch["img_cond"] = batch["img_cond"] + aug_rng.normal(
+                            0.0, cond_jitter, (len(idx), 1, 1, 1)
+                        ).astype(np.float32)
+                    state, m = trainer.train_step(state, batch, jax.random.fold_in(rng, step))
+                    if step % 1000 == 0:
+                        log(f"  step {step}: loss={float(jax.device_get(m['loss'])):.4f}"
+                            f" ({time.time() - t0:.0f}s)")
             log(f"trained {train_steps} steps in {time.time() - t0:.0f}s")
             params = state.ema_params if state.ema_params is not None else state.params
             if cache_ok:
