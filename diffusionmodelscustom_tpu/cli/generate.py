@@ -44,8 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ddim_steps", type=int, default=None)
     p.add_argument("--churn", type=float, default=None,
                    help="sample-time stochastic churn for the ancestral "
-                        "sampler (EDM S_churn analogue; 0 = exact "
-                        "reference chain)")
+                        "and ddim samplers (EDM S_churn analogue; 0 = "
+                        "exact reference chain; 0.1 + --clip_denoised is "
+                        "the measured few-step serving recipe, "
+                        "docs/FEWSTEP.md)")
+    p.add_argument("--clip_denoised", action="store_true", default=None,
+                   help="clamp the per-step x0 estimate to [-1, 1] "
+                        "(load-bearing below ~50 DDIM steps)")
     p.add_argument("--use_ema", action="store_true", default=True)
     p.add_argument("--no-use_ema", dest="use_ema", action="store_false",
                    help="sample with the raw (non-EMA) parameters")
@@ -121,13 +126,18 @@ def _generate_full_domain(args, cfg, model, diffusion, dataset, loader):
                     return model.apply(variables, x, t, y, cond, lsm, topo)
 
                 shape = (batch_size, h, w, cfg.unet.out_channels)
+                clip = cfg.diffusion.clip_denoised
                 if sampler_name == "ddim":
                     return ddim_sample(denoise, diffusion, key, shape,
-                                       num_steps=sampler_steps)
+                                       num_steps=sampler_steps,
+                                       clip_denoised=clip,
+                                       churn=cfg.diffusion.churn)
                 if sampler_name == "dpmpp":
                     return dpmpp_2m_sample(denoise, diffusion, key, shape,
-                                           num_steps=sampler_steps)
+                                           num_steps=sampler_steps,
+                                           clip_denoised=clip)
                 return ancestral_sample(denoise, diffusion, key, shape,
+                                        clip_denoised=clip,
                                         churn=cfg.diffusion.churn)
 
             sample_jit = jax.jit(run, out_shardings=sharding)
@@ -175,6 +185,8 @@ def main(argv=None) -> int:
         cfg = cfg.update({"diffusion.ddim_steps": args.ddim_steps})
     if args.churn is not None:
         cfg = cfg.update({"diffusion.churn": args.churn})
+    if args.clip_denoised is not None:
+        cfg = cfg.update({"diffusion.clip_denoised": args.clip_denoised})
 
     from ..core import make_process
     from ..sampling import (
@@ -252,10 +264,12 @@ def main(argv=None) -> int:
                     uncond_fn=uncond if cfg.diffusion.cfg_scale > 0 else None,
                     cfg_scale=cfg.diffusion.cfg_scale,
                 )
+                kw["clip_denoised"] = cfg.diffusion.clip_denoised
                 if sampler_name == "ddim":
                     return ddim_sample(
                         denoise, diffusion, key, shape,
-                        num_steps=sampler_steps, **kw,
+                        num_steps=sampler_steps,
+                        churn=cfg.diffusion.churn, **kw,
                     )
                 if sampler_name == "dpmpp":
                     return dpmpp_2m_sample(

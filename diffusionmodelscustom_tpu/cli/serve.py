@@ -43,6 +43,12 @@ def build_serve_parser():
     p.add_argument("--sampler", type=str, default=None,
                    choices=["ancestral", "ddim", "dpmpp"])
     p.add_argument("--ddim_steps", type=int, default=None)
+    p.add_argument("--churn", type=float, default=None,
+                   help="sample-time churn (ancestral + ddim); 0.1 + "
+                        "--clip_denoised is the measured few-step "
+                        "serving recipe (docs/FEWSTEP.md)")
+    p.add_argument("--clip_denoised", action="store_true", default=None,
+                   help="clamp per-step x0 to [-1, 1]")
     p.add_argument("--use_ema", action="store_true", default=True)
     p.add_argument("--no-use_ema", dest="use_ema", action="store_false",
                    help="serve the raw (non-EMA) parameters")
@@ -77,6 +83,12 @@ class SamplerService:
             cfg = cfg.update({"diffusion.sampler": args.sampler})
         if args.ddim_steps:
             cfg = cfg.update({"diffusion.ddim_steps": args.ddim_steps})
+        if args.churn is not None:
+            cfg = cfg.update({"diffusion.churn": args.churn})
+        if args.clip_denoised is not None:
+            cfg = cfg.update(
+                {"diffusion.clip_denoised": args.clip_denoised}
+            )
 
         model = build_model(cfg)
         diffusion = make_process(
@@ -110,6 +122,8 @@ class SamplerService:
             "model_family": cfg.unet.family,
             "sampler": sampler_name,
             "steps": steps if sampler_name != "ancestral" else diffusion.n_timesteps,
+            "churn": cfg.diffusion.churn,
+            "clip_denoised": cfg.diffusion.clip_denoised,
             "batch": b,
             "image_size": list(size),
         }
@@ -131,9 +145,13 @@ class SamplerService:
                 uncond_fn=uncond if cfg.diffusion.cfg_scale > 0 else None,
                 cfg_scale=cfg.diffusion.cfg_scale,
             )
+            kw["clip_denoised"] = cfg.diffusion.clip_denoised
             if sampler_name == "ddim":
+                # churn + clip on the few-step chain is the measured
+                # matched-quality serving recipe (docs/FEWSTEP.md round 5)
                 return ddim_sample(denoise, diffusion, key, shape,
-                                   num_steps=steps, **kw)
+                                   num_steps=steps,
+                                   churn=cfg.diffusion.churn, **kw)
             if sampler_name == "dpmpp":
                 return dpmpp_2m_sample(denoise, diffusion, key, shape,
                                        num_steps=steps, **kw)

@@ -88,11 +88,18 @@ class DiffusionConfig:
     process: str = "ddpm"  # ddpm | flow
     sampler: str = "ancestral"  # ancestral | ddim | dpmpp | flow
     ddim_steps: int = 50  # step budget for the few-step samplers
-    # sample-time stochastic churn for the ancestral sampler (discrete
-    # DDPM analogue of EDM S_churn, sampling/ancestral.py); 0 = the exact
-    # reference chain. Probed against the Moran's-I parity cells
-    # (scripts/probe_churn.py, PARITY.md §3).
+    # sample-time stochastic churn for the ancestral AND ddim samplers
+    # (discrete DDPM analogue of EDM S_churn, sampling/ancestral.py);
+    # 0 = the exact reference chain. Probed against the Moran's-I parity
+    # cells (scripts/probe_churn.py, PARITY.md §3); on the few-step DDIM
+    # chain churn 0.1 + clip_denoised is the measured matched-quality
+    # serving recipe (DDIM-25+churn0.1 matches the 800-step chain on
+    # every held-out metric — docs/FEWSTEP.md, round 5).
     churn: float = 0.0
+    # clamp the per-step x0 estimate to [-1, 1] (standard DDPM practice;
+    # off by default for exact reference parity — the reference never
+    # clips). Load-bearing below ~50 DDIM steps (docs/FEWSTEP.md).
+    clip_denoised: bool = False
     flow_method: str = "euler"  # euler | heun (flow sampler only)
     flow_time_sampling: str = "uniform"  # uniform | logit_normal
     flow_logit_mean: float = 0.0  # logit_normal time-sampling location

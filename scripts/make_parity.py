@@ -111,6 +111,9 @@ VARIANT_CHURN: dict = {_UNIFORM: 0.05, _UNCOND: 0.05}
 VARIANT_CHURN_SWEEP: dict = {
     _UNIFORM: (0.02, 0.03),
     _UNCOND: (0.02, 0.03),
+    # round-5 canonical rerun: the TEST variant's one losing cell is
+    # calibration Moran's I — sweep the same minimal churn ladder
+    _TEST: (0.02, 0.03),
 }
 # generated fields + trained EMA params are cached so metric additions
 # don't force a 120k-step retrain (fields are small: 100x64x64 f16)
