@@ -284,11 +284,12 @@ def main():
         "load-bearing at these budgets: without it DDIM-50 collapses",
         "(RMSE 12.2, FID 2441 — first run, FEWSTEP.json history). The",
         "int8 row shows quantization costs ~nothing ON TOP of the",
-        "few-step approximation at the same budget. For serving below",
-        "~50 steps at matched quality, use progressive distillation",
-        "(`train/distill.py`), which trains the student to match the",
-        "teacher's trajectory instead of re-solving the ODE with fewer",
-        "steps.",
+        "few-step approximation at the same budget. For few-step serving at",
+        "matched quality, add sample-time churn to the DDIM chain",
+        "(`ddim_sample(churn=0.1)` + `clip_denoised` — the round-5 measured",
+        "recipe: DDIM-25+churn0.1 matches the 800-step chain on every held-out",
+        "metric; see the churn table below). Progressive distillation",
+        "(`train/distill.py`) remains the best DETERMINISTIC few-step path.",
         "",
         "Generated by `scripts/fewstep_quality.py`; raw numbers in",
         "`FEWSTEP.json`.",

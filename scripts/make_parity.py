@@ -615,10 +615,14 @@ def main():
                 + ".",
                 "",
             ]
+    churned = [v.split("__")[0].replace("DDPM_conditional_", "")
+               .replace("DDPM_", "")
+               for v in written if ours_cards[v].get("churn")]
     recipe_note = (
         " The published cells use each variant's serving recipe: the"
         " smallest swept churn whose Moran's-I cell wins both splits"
-        " (uniform/unconditional), exact chains elsewhere — exact-chain"
+        f" ({'/'.join(churned) if churned else 'none'}),"
+        " exact chains elsewhere — exact-chain"
         f" totals: calibration {exact_totals['calibration'][0]}/"
         f"{exact_totals['calibration'][1]}, held-out "
         f"{exact_totals['heldout'][0]}/{exact_totals['heldout'][1]}."
