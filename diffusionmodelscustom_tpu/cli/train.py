@@ -169,6 +169,8 @@ def build_model(cfg):
             cond_img_channels=cfg.unet.in_channels if cfg.unet.cond_on_img else 0,
             cond_on_lsm=cfg.unet.cond_on_lsm,
             cond_on_topo=cfg.unet.cond_on_topo,
+            attention_levels=tuple(cfg.unet.attention_levels),
+            attention_levels_up=tuple(cfg.unet.attention_levels_up),
             dtype=jnp.bfloat16
             if cfg.unet.precision == "bfloat16"
             else jnp.float32,

@@ -70,6 +70,12 @@ class UnetConfig:
     cond_on_lsm: bool = False
     cond_on_topo: bool = False
     num_classes: Optional[int] = 4
+    # flagship attention placement (after down-level i / before up-level
+    # i, 1-indexed) — exposed so a checkpoint trained with a non-default
+    # placement (e.g. the parity teacher's up=(2, 1)) can be restored
+    # and served through the CLI with a matching parameter tree
+    attention_levels: Tuple[int, ...] = (1, 2, 3)
+    attention_levels_up: Tuple[int, ...] = (2, 1, 0)
     precision: str = "bfloat16"  # compute dtype for the flagship path
 
 
