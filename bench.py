@@ -465,11 +465,13 @@ def main() -> None:
         # few-step serving: 25-step clamped DDIM + the FULL int8 serving
         # mode (dynamic-int8 convs + int8 QK/PV attention — the
         # configuration __graft_entry__._dryrun_serving validates on the
-        # mesh). QUALITY at this budget is pinned by the PROGRESSIVELY
-        # DISTILLED 25-step student (docs/FEWSTEP.md distilled table,
-        # scripts/distill_quality.py), not the training-free DDIM-25 row;
-        # pass --params /path/to/distill_student_25.bin to time the
-        # actual student weights (same graph either way).
+        # mesh) + sample-time churn (SERVE_CHURN). QUALITY at this
+        # budget: the churned training-free chain MATCHES the 800-step
+        # teacher on every held-out parity metric (DDIM-25+churn0.1:
+        # RMSE 2.48 / fid_rf 3.6 / Moran 0.873 vs the 800-step chain's
+        # 2.57 / 18.4 / 0.821 — docs/FEWSTEP.md churn table, round 5),
+        # so this line is a MATCHED-QUALITY 40x serving point, tagged
+        # with the quality scorecard it rests on.
         # vs_baseline projects the reference at the SAME 25-step budget
         # (it has no few-step sampler, so this flatters it maximally).
         bench_danra(128, conditional=True, batch=32,
@@ -477,6 +479,7 @@ def main() -> None:
                     conv_quant=True, pv_int8=True, num_steps=25,
                     params_file=args.params, churn=SERVE_CHURN,
                     extra=fewstep_quality_fields(
+                        f"ddim_25_churn{SERVE_CHURN:g}_int8",
                         f"ddim_25_churn{SERVE_CHURN:g}", "ddim_25_int8"))
     elif args.config == "danra128distill12":
         # the progressively-distilled 12-step serving point
@@ -524,6 +527,7 @@ def main() -> None:
                         conv_quant=True, pv_int8=True, num_steps=25,
                         params_file=args.params, churn=SERVE_CHURN,
                         extra=fewstep_quality_fields(
+                            f"ddim_25_churn{SERVE_CHURN:g}_int8",
                             f"ddim_25_churn{SERVE_CHURN:g}",
                             "ddim_25_int8"))
 

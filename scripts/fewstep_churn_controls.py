@@ -58,6 +58,11 @@ def main():
     ap.add_argument("--student_budgets", default="",
                     help="csv of distill_r5f student budgets to ALSO "
                          "churn-score (loads artifacts/distill caches)")
+    ap.add_argument("--int8", action="store_true",
+                    help="score through the FULL int8 serving mode "
+                         "(dynamic-int8 convs + int8 QK/PV attention — "
+                         "bench.py's danra128serve configuration); keys "
+                         "get an _int8 suffix")
     args = ap.parse_args()
     budgets = [int(x) for x in args.budgets.split(",") if x]
     churns = [float(x) for x in args.churns.split(",") if x]
@@ -94,6 +99,10 @@ def main():
         cond_on_topo=True, attention_levels=(1, 2, 3),
         attention_levels_up=(2, 1), dtype=jnp.bfloat16,
     )
+    suffix = ""
+    if args.int8:
+        model = model.clone(conv_quant=True, attn_pv_int8=True)
+        suffix = "_int8"
     diffusion = GaussianDiffusion.create(
         n_timesteps=N_TIMESTEPS, beta_min=1e-4, beta_max=0.02,
         scheduler="linear",
@@ -164,9 +173,11 @@ def main():
 
     for c in churns:
         for ns in budgets:
-            score_chain(teacher, ns, c, f"ddim_{ns}_churn{c:g}")
+            score_chain(teacher, ns, c, f"ddim_{ns}_churn{c:g}{suffix}")
         for ns, sp in students.items():
-            score_chain(sp, ns, c, f"distilled_fresh_{ns}_churn{c:g}")
+            score_chain(
+                sp, ns, c, f"distilled_fresh_{ns}_churn{c:g}{suffix}"
+            )
     few = json.loads((REPO / "FEWSTEP.json").read_text())
     few.update(results)
     (REPO / "FEWSTEP.json").write_text(json.dumps(few, indent=1))
