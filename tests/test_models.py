@@ -139,3 +139,20 @@ def test_danra_attn_head_dim_capping_preserves_params():
     out = m1.apply(v0, x, t, train=False)
     assert out.shape == (1, 32, 32, 1)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_build_model_honors_attention_level_config():
+    """The round-5 config knobs unet.attention_levels(_up) reach the
+    flagship constructor — a checkpoint trained with a non-default
+    placement (e.g. the parity teacher's up=(2, 1)) can be restored
+    through the CLI with a matching parameter tree."""
+    from diffusionmodelscustom_tpu.cli.train import build_model
+    from diffusionmodelscustom_tpu.utils.config import ExperimentConfig
+
+    cfg = ExperimentConfig().update({
+        "unet.attention_levels": [1, 2],
+        "unet.attention_levels_up": [2, 1],
+    })
+    model = build_model(cfg)
+    assert tuple(model.attention_levels) == (1, 2)
+    assert tuple(model.attention_levels_up) == (2, 1)
