@@ -90,12 +90,15 @@ def emit(metric, value, unit, vs_baseline, **extra):
     )
 
 
-SERVE_CHURN = 0.1  # the measured matched-quality serving recipe:
-# sample-time churn on the few-step DDIM chains (scripts/distill_fresh.py
-# + fewstep_churn_controls.py, round-5). Held-out on the parity teacher:
+# The measured matched-quality serving recipes: sample-time churn on the
+# few-step DDIM chains (scripts/distill_fresh.py +
+# fewstep_churn_controls.py, round-5). Held-out on the parity teacher:
 # DDIM-25+churn0.1 RMSE 2.48 / FID-rf 3.6 / Moran 0.873 (vs the 800-step
-# chain's 2.57 / 18.4 / 0.821) and the distilled 12-step student
-# +churn0.1 2.56 / 12.3 / 0.497 — full scorecards in docs/FEWSTEP.md.
+# chain's 2.57 / 18.4 / 0.821); the distilled 12-step student wants MORE
+# churn — at churn 0.2 it scores 2.34 / 4.9 / 0.726, BEATING the
+# 800-step chain on RMSE/FID — full scorecards in docs/FEWSTEP.md.
+SERVE_CHURN = 0.1      # 25-step training-free serving line
+DISTILL12_CHURN = 0.2  # 12-step distilled serving line
 
 
 def fewstep_quality_fields(*keys: str) -> dict:
@@ -483,8 +486,8 @@ def main() -> None:
                         f"ddim_25_churn{SERVE_CHURN:g}", "ddim_25_int8"))
     elif args.config == "danra128distill12":
         # the progressively-distilled 12-step serving point
-        # (scripts/distill_quality.py saves the student in-repo; quality
-        # scorecard: docs/FEWSTEP.md distilled table)
+        # (scripts/distill_fresh.py saves the student in-repo; quality
+        # scorecard: docs/FEWSTEP.md churn table)
         student = str(pathlib.Path(__file__).resolve().parent
                       / "artifacts" / "distill_student_12.bin")
         bench_danra(128, conditional=True, batch=32,
@@ -493,9 +496,10 @@ def main() -> None:
                     params_file=args.params or (
                         student if pathlib.Path(student).exists() else None
                     ),
-                    churn=SERVE_CHURN,
+                    churn=DISTILL12_CHURN,
                     extra=fewstep_quality_fields(
-                        f"distilled_fresh_12_churn{SERVE_CHURN:g}",
+                        f"distilled_fresh_12_churn{DISTILL12_CHURN:g}_int8",
+                        f"distilled_fresh_12_churn{DISTILL12_CHURN:g}",
                         "serving_student_12", "distilled_12_clip"))
     elif args.config == "latencyserve":
         # batch-1 serving SLO on the few-step path: samples/s at batch 1
@@ -542,9 +546,11 @@ def main() -> None:
             bench_danra(128, conditional=True, batch=32,
                         tag="danra128_cond_ddim12_distilled_serving",
                         conv_quant=True, pv_int8=True, num_steps=12,
-                        params_file=str(student), churn=SERVE_CHURN,
+                        params_file=str(student), churn=DISTILL12_CHURN,
                         extra=fewstep_quality_fields(
-                            f"distilled_fresh_12_churn{SERVE_CHURN:g}",
+                            f"distilled_fresh_12_churn"
+                            f"{DISTILL12_CHURN:g}_int8",
+                            f"distilled_fresh_12_churn{DISTILL12_CHURN:g}",
                             "serving_student_12", "distilled_12_clip"))
 
         for secondary in (bench_train, _serve, _distill12):

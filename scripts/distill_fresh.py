@@ -172,19 +172,20 @@ def publish(results, pool_n, uniq, steps_per_round):
             )
         lines += [
             "",
-            "Honest reading: sample-time churn, not distillation, is",
-            "the load-bearing mechanism. Training-free DDIM-N+churn on",
-            "the teacher wins outright at 6 and 3 steps; at 12 it is a",
-            "near-tie (distilled slightly ahead on RMSE/FID, 2.56/12.3",
-            "vs 2.72/13.1, behind on Moran/PSD — the student is fit to",
-            "its deterministic grid trajectory, so the churn lift is",
-            "off-distribution for it). Serving recipes: 25-step",
-            "DDIM+churn0.1 fully matches the 800-step teacher on every",
-            "metric at 40x fewer evals; 12-step (distilled or not)",
-            "+churn0.1 holds teacher-level RMSE/FID with partial",
-            "spatial-stat recovery at 80x. Progressive distillation",
-            "remains the best DETERMINISTIC few-step path (distilled-12",
-            "beats DDIM-12 without churn on every metric).",
+            "Honest reading: sample-time churn is the load-bearing",
+            "mechanism, and each chain has its own optimal churn (the",
+            "12-step chains want ~2x the 25-step value). Per-budget",
+            "winners: 25 steps — training-free DDIM+churn0.1 (2.48/3.6/",
+            "0.873), fully matching the 800-step teacher at 40x fewer",
+            "evals. 12 steps — the DISTILLED student + churn 0.2",
+            "(2.34/4.9/0.726), BEATING the 800-step chain on RMSE and",
+            "FID at 67x fewer evals (training-free DDIM-12 tops out at",
+            "2.50/7.9/0.706 at the same churn); distillation is a real",
+            "increment here once churn is tuned per-chain. 6/3 steps —",
+            "training-free + churn wins; both degrade. int8 serving",
+            "costs nothing on top (the _int8 rows). Distillation also",
+            "remains the best DETERMINISTIC path (no churn: distilled-12",
+            "beats DDIM-12 on every metric).",
         ]
     lines += ["", "Generated by `scripts/distill_fresh.py`; raw in",
               "`FEWSTEP.json` (`distilled_fresh_*` keys)."]
