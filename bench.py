@@ -99,6 +99,15 @@ def emit(metric, value, unit, vs_baseline, **extra):
 # 800-step chain on RMSE/FID — full scorecards in docs/FEWSTEP.md.
 SERVE_CHURN = 0.1      # 25-step training-free serving line
 DISTILL12_CHURN = 0.2  # 12-step distilled serving line
+# Restart-sampling serving recipes (ddim_restart_sample — measured round
+# 5, docs/FEWSTEP.md restart rows): at 12 evals (8+4, t=200, churn
+# 0.1/0.5) the TRAINING-FREE chain beats the 800-step teacher on every
+# held-out metric incl. Moran/PSD; at 6 evals (4+2, t=150, 0.3/0.8) it
+# beats the teacher's RMSE/FID with near-matched spatial stats.
+RESTART12 = dict(num_steps=8, restart_t=200, restart_steps=4,
+                 churn=0.1, restart_churn=0.5)
+RESTART6 = dict(num_steps=4, restart_t=150, restart_steps=2,
+                churn=0.3, restart_churn=0.8)
 
 
 def fewstep_quality_fields(*keys: str) -> dict:
@@ -159,11 +168,16 @@ def _time_sampler(sample_fn, batch):
 def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = "",
                 conv_quant: bool = False, pv_int8: bool = False,
                 num_steps: int | None = None, params_file: str | None = None,
-                extra: dict | None = None, churn: float = 0.0):
+                extra: dict | None = None, churn: float = 0.0,
+                restart: dict | None = None):
     from __graft_entry__ import _example_batch, _flagship
     from diffusionmodelscustom_tpu.core import GaussianDiffusion
     from diffusionmodelscustom_tpu.models import ConditionalUNet
-    from diffusionmodelscustom_tpu.sampling import ancestral_sample, ddim_sample
+    from diffusionmodelscustom_tpu.sampling import (
+        ancestral_sample,
+        ddim_restart_sample,
+        ddim_sample,
+    )
 
     if conditional:
         model = _flagship()
@@ -212,7 +226,16 @@ def bench_danra(size: int, conditional: bool, batch: int = 8, tag: str = "",
             return model.apply({"params": params}, x, t)
 
     diffusion = GaussianDiffusion.create(n_timesteps=N_TIMESTEPS)
-    if num_steps is not None:
+    if restart is not None:
+        # two-phase restart serving (ddim_restart_sample docstring)
+        sample_fn = jax.jit(
+            lambda key: ddim_restart_sample(
+                denoise, diffusion, key, (batch, size, size, 1),
+                clip_denoised=True, **restart,
+            )
+        )
+        num_steps = restart["num_steps"] + restart["restart_steps"]
+    elif num_steps is not None:
         # few-step serving: DDIM sub-sequence with x0 clamping + the
         # measured sample-time churn recipe (the quality-measured
         # configuration, docs/FEWSTEP.md)
@@ -409,6 +432,7 @@ def main() -> None:
         default="danra128",
         choices=["mnist", "danra64", "danra64cond", "danra128",
                  "danra128int8", "danra128serve", "danra128distill12",
+                 "danra128restart12", "danra128restart6",
                  "latency", "latencyserve",
                  "cascade", "cascadeint8",
                  "train"],
@@ -501,6 +525,20 @@ def main() -> None:
                         f"distilled_fresh_12_churn{DISTILL12_CHURN:g}_int8",
                         f"distilled_fresh_12_churn{DISTILL12_CHURN:g}",
                         "serving_student_12", "distilled_12_clip"))
+    elif args.config == "danra128restart12":
+        bench_danra(128, conditional=True, batch=32,
+                    tag="danra128_cond_restart12_int8_serving",
+                    conv_quant=True, pv_int8=True, restart=RESTART12,
+                    extra=fewstep_quality_fields(
+                        "restart_8p4_t200_c0.1x0.5_int8",
+                        "restart_8p4_t200_c0.1x0.5"))
+    elif args.config == "danra128restart6":
+        bench_danra(128, conditional=True, batch=32,
+                    tag="danra128_cond_restart6_int8_serving",
+                    conv_quant=True, pv_int8=True, restart=RESTART6,
+                    extra=fewstep_quality_fields(
+                        "restart_4p2_t150_c0.3x0.8_int8",
+                        "restart_4p2_t150_c0.3x0.8"))
     elif args.config == "latencyserve":
         # batch-1 serving SLO on the few-step path: samples/s at batch 1
         # is the inverse per-sample latency (the log line prints seconds)
@@ -553,7 +591,18 @@ def main() -> None:
                             f"distilled_fresh_12_churn{DISTILL12_CHURN:g}",
                             "serving_student_12", "distilled_12_clip"))
 
-        for secondary in (bench_train, _serve, _distill12):
+        def _restart12():
+            # training-free restart serving: 12 evals, matches the
+            # 800-step chain on EVERY held-out metric (FEWSTEP restart
+            # rows) — the framework's flagship serving recipe
+            bench_danra(128, conditional=True, batch=32,
+                        tag="danra128_cond_restart12_int8_serving",
+                        conv_quant=True, pv_int8=True, restart=RESTART12,
+                        extra=fewstep_quality_fields(
+                            "restart_8p4_t200_c0.1x0.5_int8",
+                            "restart_8p4_t200_c0.1x0.5"))
+
+        for secondary in (bench_train, _serve, _distill12, _restart12):
             try:
                 secondary()
             except Exception as e:  # noqa: BLE001 — protect the primary

@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip_denoised", action="store_true", default=None,
                    help="clamp the per-step x0 estimate to [-1, 1] "
                         "(load-bearing below ~50 DDIM steps)")
+    p.add_argument("--restart_t", type=int, default=None,
+                   help="ddim restart re-descent start timestep "
+                        "(docs/FEWSTEP.md restart table)")
+    p.add_argument("--restart_steps", type=int, default=None,
+                   help="extra re-descent steps after the base ddim "
+                        "chain (0 = off)")
+    p.add_argument("--restart_churn", type=float, default=None,
+                   help="churn for the re-descent phase")
     p.add_argument("--use_ema", action="store_true", default=True)
     p.add_argument("--no-use_ema", dest="use_ema", action="store_false",
                    help="sample with the raw (non-EMA) parameters")
@@ -79,7 +87,12 @@ def _generate_full_domain(args, cfg, model, diffusion, dataset, loader):
     edge-padded to /16); batch rides the mesh 'data' axis and image
     height the 'model' axis via spatial_batch_sharding."""
     from ..parallel import make_mesh, spatial_batch_sharding
-    from ..sampling import ancestral_sample, ddim_sample, dpmpp_2m_sample
+    from ..sampling import (
+        ancestral_sample,
+        ddim_restart_sample,
+        ddim_sample,
+        dpmpp_2m_sample,
+    )
     from .inference import load_inference_setup
 
     model, params, batch_stats, sampler_name, sampler_steps = (
@@ -128,6 +141,15 @@ def _generate_full_domain(args, cfg, model, diffusion, dataset, loader):
                 shape = (batch_size, h, w, cfg.unet.out_channels)
                 clip = cfg.diffusion.clip_denoised
                 if sampler_name == "ddim":
+                    if cfg.diffusion.restart_steps > 0:
+                        return ddim_restart_sample(
+                            denoise, diffusion, key, shape,
+                            num_steps=sampler_steps,
+                            restart_t=cfg.diffusion.restart_t,
+                            restart_steps=cfg.diffusion.restart_steps,
+                            churn=cfg.diffusion.churn,
+                            restart_churn=cfg.diffusion.restart_churn,
+                            clip_denoised=clip)
                     return ddim_sample(denoise, diffusion, key, shape,
                                        num_steps=sampler_steps,
                                        clip_denoised=clip,
@@ -187,10 +209,15 @@ def main(argv=None) -> int:
         cfg = cfg.update({"diffusion.churn": args.churn})
     if args.clip_denoised is not None:
         cfg = cfg.update({"diffusion.clip_denoised": args.clip_denoised})
+    for f in ("restart_t", "restart_steps", "restart_churn"):
+        v = getattr(args, f)
+        if v is not None:
+            cfg = cfg.update({f"diffusion.{f}": v})
 
     from ..core import make_process
     from ..sampling import (
         ancestral_sample,
+        ddim_restart_sample,
         ddim_sample,
         dpmpp_2m_sample,
         flow_sample,
@@ -266,6 +293,16 @@ def main(argv=None) -> int:
                 )
                 kw["clip_denoised"] = cfg.diffusion.clip_denoised
                 if sampler_name == "ddim":
+                    if cfg.diffusion.restart_steps > 0:
+                        return ddim_restart_sample(
+                            denoise, diffusion, key, shape,
+                            num_steps=sampler_steps,
+                            restart_t=cfg.diffusion.restart_t,
+                            restart_steps=cfg.diffusion.restart_steps,
+                            churn=cfg.diffusion.churn,
+                            restart_churn=cfg.diffusion.restart_churn,
+                            **kw,
+                        )
                     return ddim_sample(
                         denoise, diffusion, key, shape,
                         num_steps=sampler_steps,

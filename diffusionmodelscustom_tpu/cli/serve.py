@@ -49,6 +49,15 @@ def build_serve_parser():
                         "serving recipe (docs/FEWSTEP.md)")
     p.add_argument("--clip_denoised", action="store_true", default=None,
                    help="clamp per-step x0 to [-1, 1]")
+    p.add_argument("--restart_t", type=int, default=None,
+                   help="restart re-descent start timestep (with "
+                        "--restart_steps; measured recipes in "
+                        "docs/FEWSTEP.md restart table)")
+    p.add_argument("--restart_steps", type=int, default=None,
+                   help="extra re-descent steps after the base ddim "
+                        "chain (0 = off)")
+    p.add_argument("--restart_churn", type=float, default=None,
+                   help="churn for the re-descent phase")
     p.add_argument("--use_ema", action="store_true", default=True)
     p.add_argument("--no-use_ema", dest="use_ema", action="store_false",
                    help="serve the raw (non-EMA) parameters")
@@ -72,6 +81,7 @@ class SamplerService:
         from ..core import make_process
         from ..sampling import (
             ancestral_sample,
+            ddim_restart_sample,
             ddim_sample,
             dpmpp_2m_sample,
             flow_sample,
@@ -89,6 +99,10 @@ class SamplerService:
             cfg = cfg.update(
                 {"diffusion.clip_denoised": args.clip_denoised}
             )
+        for f in ("restart_t", "restart_steps", "restart_churn"):
+            v = getattr(args, f)
+            if v is not None:
+                cfg = cfg.update({f"diffusion.{f}": v})
 
         model = build_model(cfg)
         diffusion = make_process(
@@ -124,6 +138,9 @@ class SamplerService:
             "steps": steps if sampler_name != "ancestral" else diffusion.n_timesteps,
             "churn": cfg.diffusion.churn,
             "clip_denoised": cfg.diffusion.clip_denoised,
+            "restart_t": cfg.diffusion.restart_t,
+            "restart_steps": cfg.diffusion.restart_steps,
+            "restart_churn": cfg.diffusion.restart_churn,
             "batch": b,
             "image_size": list(size),
         }
@@ -147,8 +164,18 @@ class SamplerService:
             )
             kw["clip_denoised"] = cfg.diffusion.clip_denoised
             if sampler_name == "ddim":
-                # churn + clip on the few-step chain is the measured
-                # matched-quality serving recipe (docs/FEWSTEP.md round 5)
+                # churn + clip (+ optional restart re-descent) on the
+                # few-step chain is the measured matched-quality serving
+                # recipe (docs/FEWSTEP.md round 5)
+                if cfg.diffusion.restart_steps > 0:
+                    return ddim_restart_sample(
+                        denoise, diffusion, key, shape,
+                        num_steps=steps,
+                        restart_t=cfg.diffusion.restart_t,
+                        restart_steps=cfg.diffusion.restart_steps,
+                        churn=cfg.diffusion.churn,
+                        restart_churn=cfg.diffusion.restart_churn,
+                        **kw)
                 return ddim_sample(denoise, diffusion, key, shape,
                                    num_steps=steps,
                                    churn=cfg.diffusion.churn, **kw)

@@ -1,7 +1,7 @@
 """Samplers: fused-scan ancestral, DDIM fast path, continuous-time, EDM
 churn, flow-matching ODE, and parallel-in-time Picard (ParaDiGMS)."""
 
-from .ancestral import ancestral_sample, ddim_sample
+from .ancestral import ancestral_sample, ddim_restart_sample, ddim_sample
 from .continuous import p_sample_loop_continuous
 from .dpm_solver import dpmpp_2m_sample
 from .edm import edm_sample
@@ -10,6 +10,7 @@ from .picard import picard_sample
 
 __all__ = [
     "ancestral_sample",
+    "ddim_restart_sample",
     "ddim_sample",
     "dpmpp_2m_sample",
     "edm_sample",

@@ -394,3 +394,57 @@ def test_ddim_churn_zero_is_exact_chain_and_nonzero_differs():
     c = f(jax.random.key(3))
     assert np.isfinite(np.asarray(c)).all()
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_ddim_t_start_restart_recipe():
+    """t_start (round-5): default equals the full grid bitwise; a
+    restart re-descent from a forward-noised output converges with a
+    perfect denoiser (the arXiv:2306.14878 building block)."""
+    diff = GaussianDiffusion.create(n_timesteps=100)
+    c = 0.6
+
+    def denoise_fn(x, t):
+        ab = diff.alpha_bar[jnp.maximum(t, 0)].reshape(-1, 1, 1, 1)
+        ab = jnp.where(t.reshape(-1, 1, 1, 1) >= 0, ab, 1.0)
+        return (x - jnp.sqrt(ab) * c) / jnp.sqrt(jnp.maximum(1 - ab, 1e-8))
+
+    a = ddim_sample(denoise_fn, diff, jax.random.key(3), (2, 8, 8, 1),
+                    num_steps=8)
+    b = ddim_sample(denoise_fn, diff, jax.random.key(3), (2, 8, 8, 1),
+                    num_steps=8, t_start=99)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restart: forward-noise the output to t=40, re-descend in 4 steps
+    rng = jax.random.key(9)
+    t_r = jnp.full((2,), 40, jnp.int32)
+    x_t, _ = diff.noise_image(rng, a, t_r)
+    out = ddim_sample(denoise_fn, diff, jax.random.key(4), (2, 8, 8, 1),
+                      num_steps=4, t_start=40, x_init=x_t,
+                      clip_denoised=True)
+    assert np.isfinite(np.asarray(out)).all()
+    assert abs(float(out.mean()) - c) < 0.15
+
+
+def test_ddim_restart_sample_converges_and_jits():
+    """The two-phase restart sampler (round-5 serving recipe) converges
+    with a perfect denoiser and compiles as one jit."""
+    from diffusionmodelscustom_tpu.sampling import ddim_restart_sample
+
+    diff = GaussianDiffusion.create(n_timesteps=100)
+    c = 0.5
+
+    def denoise_fn(x, t):
+        ab = diff.alpha_bar[jnp.maximum(t, 0)].reshape(-1, 1, 1, 1)
+        ab = jnp.where(t.reshape(-1, 1, 1, 1) >= 0, ab, 1.0)
+        return (x - jnp.sqrt(ab) * c) / jnp.sqrt(jnp.maximum(1 - ab, 1e-8))
+
+    f = jax.jit(
+        lambda rng: ddim_restart_sample(
+            denoise_fn, diff, rng, (2, 8, 8, 1), num_steps=4,
+            restart_t=40, restart_steps=2, churn=0.2, restart_churn=0.5,
+        )
+    )
+    out = f(jax.random.key(2))
+    assert out.shape == (2, 8, 8, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    assert abs(float(out.mean()) - c) < 0.15
